@@ -220,6 +220,11 @@ class NearDupConfig:
     bands: int = 32             # LSH bands (bands × rows_per_band == num_perm)
     seed: int = 42
     jaccard_threshold: float = 0.8   # pair-verification threshold
+    #: verification accepts estimated Jaccard ≥ threshold − margin. The
+    #: estimator's std at J≈0.8 with 128 perms is ~0.035; a 0.1 margin
+    #: puts a true-positive miss ~2.8σ out (P < 0.003) — this is what
+    #: makes recall ≥ 0.99 achievable at the threshold boundary.
+    verify_margin: float = 0.1
     bucket_cap: int = 256       # max docs per LSH bucket before pair explosion
     simhash_bits: int = 64
     simhash_hamming: int = 3    # max Hamming distance for SimHash near-dups

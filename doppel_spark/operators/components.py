@@ -1,0 +1,98 @@
+"""Connected components over verified-pair edges — iterative DataFrame jobs.
+
+Replaces the reference's implicit in-memory union of hash groups (each
+full-digest bucket IS a component, /root/reference/internal/finder/
+finder.go:114-143) with the general graph case the near-dup tier needs:
+verified pairs form an arbitrary graph whose components are the dup
+clusters.
+
+Algorithm: **hash-min label propagation** — every node starts labeled
+with itself; each round every node takes the min of its own label and
+its neighbors' labels; converged when no label changes. Rounds are
+plain shuffled joins, so the work distributes; iteration count is
+bounded by the component diameter, and near-dup clusters are dense
+(LSH buckets emit stars/cliques), so 2–5 rounds dominate in practice.
+
+Scale hygiene:
+* ``localCheckpoint`` every round truncates the lineage — without it
+  the plan doubles per iteration and the driver dies on plan
+  explosion long before data size matters.
+* Convergence test is ``isEmpty()`` on the changed-label frame —
+  a cheap early-exit action per round.
+* Labels are the node keys themselves (min = lexicographic for string
+  urls), so the final cluster representative is deterministic and the
+  cluster id is ``xxhash64(representative)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "url_a",
+    dst: str = "url_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given by ``edges``.
+
+    Returns (url string, cluster_rep string, cluster_id long); every
+    node appearing in any edge gets a row. Deterministic: the cluster
+    representative is the lexicographically smallest member.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        # propagate each node's label to its neighbors, keep the min
+        prop = (
+            sym.join(labels, sym.v == labels.node)
+            .select(sym.u.alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label").union(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+
+    return labels.select(
+        F.col("node").alias("url"),
+        F.col("label").alias("cluster_rep"),
+        F.xxhash64("label").alias("cluster_id"),
+    )
+
+
+def clusters_with_singletons(
+    components: DataFrame, all_docs: DataFrame, id_col: str = "url",
+) -> DataFrame:
+    """Left-join components onto the full doc set: docs in no edge become
+    singleton clusters of themselves (cluster_rep = own url)."""
+    joined = all_docs.select(F.col(id_col).alias("url")).join(
+        components, "url", "left"
+    )
+    return joined.select(
+        "url",
+        F.coalesce("cluster_rep", F.col("url")).alias("cluster_rep"),
+        F.xxhash64(F.coalesce("cluster_rep", F.col("url"))).alias("cluster_id"),
+    )

@@ -1,0 +1,168 @@
+"""LSH banding, candidate-pair generation, and Jaccard verification.
+
+Pipeline (north-rule extension of the reference's staged funnel):
+
+    signatures → band keys → bucket groupBy → pair explosion
+    → signature-agreement verify (≥ threshold) → verified pairs
+
+Scale decisions, explicitly:
+
+* **Pair generation is a grouped explosion, not a self-join.** A
+  self-equi-join on (band_id, band_hash) makes Spark shuffle the full
+  signature table twice and still blows up O(n²) inside hot buckets.
+  We ``groupBy`` the band key once, ``collect_list`` only doc ids
+  (small), and explode combination pairs with a Catalyst ``transform``
+  — one shuffle of (key, id) pairs, no text or signature movement.
+* **Hot buckets (boilerplate templates) are the skew hazard.** A
+  bucket of m docs yields m(m−1)/2 pairs — one 10⁶-doc boilerplate
+  bucket would emit 5·10¹¹ pairs. Buckets over ``bucket_cap`` switch
+  to *star pairing* around the smallest member: n−1 pairs, connectivity
+  for connected-components preserved, recall within the bucket
+  delegated to the cluster step. Capped-bucket counts are surfaced in
+  ``lsh_bucket_stats`` — never silently truncated.
+* **Verification never leaves the JVM** — agreement fraction of stored
+  signatures via ``zip_with``/``aggregate``; the optional exact-Jaccard
+  audit (pandas UDF over pair texts) is for tests/sampling, not the
+  hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from doppel_spark.config import NearDupConfig
+from doppel_spark.functions.minhash import (
+    exact_jaccard_udf,
+    minhash_signature_udf,
+    signature_agreement,
+)
+
+
+def with_signature(df: DataFrame, cfg: NearDupConfig, text_col: str = "text") -> DataFrame:
+    """Add ``signature: array<long>`` (MinHash over k-word shingles)."""
+    mh = minhash_signature_udf(cfg.num_perm, cfg.shingle_k, cfg.seed)
+    return df.withColumn("signature", mh(F.col(text_col)))
+
+
+def band_keys(sig_df: DataFrame, cfg: NearDupConfig, id_col: str = "url") -> DataFrame:
+    """Explode each signature into (band_id, band_hash) keys.
+
+    band_hash = xxhash64 of the band's signature slice — computed
+    JVM-side from the array column; one output row per (doc, band).
+    """
+    r = cfg.rows_per_band
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(b, F.slice(F.col("signature"), b * r + 1, r)).alias("band_hash"),
+        ),
+    )
+    return (
+        sig_df.select(F.col(id_col), F.explode(bands).alias("bk"))
+        .select(id_col, F.col("bk.band_id").alias("band_id"),
+                F.col("bk.band_hash").alias("band_hash"))
+    )
+
+
+def pairs_from_buckets(
+    exploded: DataFrame, key_cols: list[str], id_col: str = "url",
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Distinct unordered candidate pairs from bucket membership.
+
+    Small buckets (≤ cap): all C(m,2) pairs via Catalyst combination
+    explosion. Oversized buckets: star pairs around the minimum id.
+    Output: (url_a, url_b) with url_a < url_b.
+    """
+    buckets = (
+        exploded.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    all_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("url_a"), y.alias("url_b")),
+            ),
+        )
+    )
+    star_pairs = F.transform(
+        F.slice(F.col("ids"), 2, F.size("ids")),
+        lambda y: F.struct(F.element_at("ids", 1).alias("url_a"), y.alias("url_b")),
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.when(F.size("ids") <= bucket_cap, all_pairs).otherwise(star_pairs)
+        ).alias("p")
+    ).select("p.url_a", "p.url_b")
+    return pairs.distinct()
+
+
+def lsh_bucket_stats(exploded: DataFrame, key_cols: list[str],
+                     bucket_cap: int = 256) -> DataFrame:
+    """Skew accounting: bucket-size histogram + capped-bucket count.
+
+    The no-silent-caps rule: every run can report how many buckets fell
+    back to star pairing and how many pairs that skipped.
+    """
+    sizes = exploded.groupBy(*key_cols).count().withColumnRenamed("count", "m")
+    return sizes.agg(
+        F.count("*").alias("buckets"),
+        F.sum(F.when(F.col("m") > 1, 1).otherwise(0)).alias("colliding_buckets"),
+        F.max("m").alias("max_bucket"),
+        F.sum(F.when(F.col("m") > bucket_cap, 1).otherwise(0)).alias("capped_buckets"),
+        F.sum(
+            F.when(F.col("m") > bucket_cap,
+                   (F.col("m") * (F.col("m") - 1) / 2 - (F.col("m") - 1)).cast("long"))
+            .otherwise(0)
+        ).alias("pairs_skipped_by_cap"),
+    )
+
+
+def candidate_pairs(sig_df: DataFrame, cfg: NearDupConfig, id_col: str = "url") -> DataFrame:
+    """MinHash-LSH candidate pairs (url_a < url_b), deduped across bands."""
+    exploded = band_keys(sig_df, cfg, id_col=id_col)
+    return pairs_from_buckets(exploded, ["band_id", "band_hash"],
+                              id_col=id_col, bucket_cap=cfg.bucket_cap)
+
+
+def verify_pairs(
+    pairs: DataFrame, sig_df: DataFrame, cfg: NearDupConfig, id_col: str = "url",
+) -> DataFrame:
+    """Join signatures onto pairs and keep those with estimated Jaccard
+    ≥ threshold − verify_margin (the margin absorbs estimator noise so
+    true-positives at the threshold boundary aren't dropped — recall
+    target is 0.99). Output: (url_a, url_b, jaccard_est double).
+
+    Signature join is two shuffle equi-joins on id; the signature side
+    carries only (id, 128×8 B) — at 10¹² docs that projection is ~1 TB,
+    shuffle-joinable; the text column never moves.
+    """
+    a = sig_df.select(F.col(id_col).alias("url_a"), F.col("signature").alias("sig_a"))
+    b = sig_df.select(F.col(id_col).alias("url_b"), F.col("signature").alias("sig_b"))
+    return (
+        pairs.join(a, "url_a").join(b, "url_b")
+        .withColumn("jaccard_est",
+                    signature_agreement(F.col("sig_a"), F.col("sig_b"), cfg.num_perm))
+        .filter(F.col("jaccard_est") >= cfg.jaccard_threshold - cfg.verify_margin)
+        .select("url_a", "url_b", "jaccard_est")
+    )
+
+
+def verify_pairs_exact(
+    pairs: DataFrame, docs: DataFrame, cfg: NearDupConfig,
+    id_col: str = "url", text_col: str = "text",
+) -> DataFrame:
+    """Audit path: true shingle Jaccard on pair texts (pandas UDF)."""
+    jac = exact_jaccard_udf(cfg.shingle_k)
+    a = docs.select(F.col(id_col).alias("url_a"), F.col(text_col).alias("text_a"))
+    b = docs.select(F.col(id_col).alias("url_b"), F.col(text_col).alias("text_b"))
+    return (
+        pairs.join(a, "url_a").join(b, "url_b")
+        .withColumn("jaccard", jac(F.col("text_a"), F.col("text_b")))
+        .select("url_a", "url_b", "jaccard")
+    )

@@ -10,8 +10,33 @@ parallelism level instead of the 200 default.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``doppel_spark`` importable on executor Python workers.
+
+    Zips the package and registers it via ``addPyFile`` — the same
+    mechanism ``spark-submit --py-files doppel_spark.zip`` uses on a
+    real cluster. Without this, any pandas UDF that references module
+    globals fails on workers whenever the driver's cwd isn't the repo
+    root (cloudpickle serializes module functions by reference).
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zip_base = os.path.join(tempfile.gettempdir(), "doppel_spark_pyfiles")
+    zip_path = shutil.make_archive(zip_base, "zip", root_dir=root,
+                                   base_dir="doppel_spark")
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(app_id)
 
 
 def get_spark(
@@ -51,4 +76,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark
