@@ -1,0 +1,110 @@
+"""Text-analysis columns for training-data pipelines — pure Catalyst.
+
+Everything here is built-in ``pyspark.sql.functions`` composition (no
+Python), deliberately expressible in ANSI SQL so every op has a DuckDB
+oracle: token counting, language ID (stopword-hit heuristic), quality
+scoring (length / punctuation / stopword / repetition signals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from doppel_spark.corpus import LANG_STOPWORDS
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens; empty text → empty array (not [''])."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long").alias("n_tokens")
+
+
+def word_token_count(text: Column | str) -> Column:
+    """BPE-ish subword proxy: word chunks + digit runs + punctuation marks
+    each count as a token (regex split, JVM-side)."""
+    t = F.col(text) if isinstance(text, str) else text
+    pieces = F.filter(
+        F.split(t, r"(?<=[^\p{L}\p{N}])|(?=[^\p{L}\p{N}])"), lambda x: F.trim(x) != ""
+    )
+    return F.size(pieces).cast("long").alias("n_subtokens")
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """# tokens that are stopwords of ``lang`` (array intersection size)."""
+    toks = tokens(text)
+    stops = [F.lit(w) for w in LANG_STOPWORDS[lang]]
+    return F.size(F.filter(toks, lambda x: x.isin(*[s for s in stops]))).cast("long")
+
+
+def lang_id(text: Column | str) -> Column:
+    """Predicted language = argmax over per-language stopword hit counts.
+
+    Deterministic tie-break: language order as listed (first max wins),
+    'und' when no stopword hits at all.
+    """
+    best_lang = F.lit("und")
+    best_hits = F.lit(0).cast("long")
+    for lang in LANG_STOPWORDS:
+        hits = stopword_hits(text, lang)
+        improved = hits > best_hits
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(improved, hits).otherwise(best_hits)
+    return best_lang.alias("lang_pred")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of chars in a fixed punctuation class (0 for empty)."""
+    t = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(t, r"[.,!?;:]", "")
+    return (
+        F.when(F.length(t) == 0, F.lit(0.0))
+        .otherwise((F.length(t) - F.length(stripped)).cast("double") / F.length(t))
+        .alias("punct_ratio")
+    )
+
+
+def stopword_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are stopwords of ANY known language."""
+    toks = tokens(text)
+    all_stops = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    hits = F.size(F.filter(toks, lambda x: x.isin(*[F.lit(w) for w in all_stops])))
+    return (
+        F.when(F.size(toks) == 0, F.lit(0.0))
+        .otherwise(hits.cast("double") / F.size(toks))
+        .alias("stopword_ratio")
+    )
+
+
+def distinct_token_ratio(text: Column | str) -> Column:
+    """Repetition signal: |distinct tokens| / |tokens| (1.0 for empty)."""
+    toks = tokens(text)
+    return (
+        F.when(F.size(toks) == 0, F.lit(1.0))
+        .otherwise(F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+        .alias("distinct_token_ratio")
+    )
+
+
+def quality_score(text: Column | str, min_tokens: int = 20,
+                  max_tokens: int = 100_000) -> Column:
+    """Heuristic [0,1] quality score for filter thresholds.
+
+    0.4·length-window + 0.3·stopword presence + 0.2·non-repetition +
+    0.1·low punctuation. Deliberately simple, monotone, and
+    SQL-expressible — the point is the *pipeline op* (scorable,
+    thresholdable, pushdown-able), not linguistic sophistication.
+    """
+    n = F.size(tokens(text))
+    len_ok = F.when((n >= min_tokens) & (n <= max_tokens), 1.0).otherwise(0.0)
+    stop_sig = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    rep_sig = distinct_token_ratio(text)
+    punct_sig = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    return (
+        F.round(0.4 * len_ok + 0.3 * stop_sig + 0.2 * rep_sig + 0.1 * punct_sig, 6)
+        .alias("quality_score")
+    )

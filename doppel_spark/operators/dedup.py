@@ -1,0 +1,105 @@
+"""Dedup operator family for training-data pipelines.
+
+One entry per dedup modality a 100 TB text pipeline needs, each built
+on the engine's primitives:
+
+* exact dedup (hash-groupBy keep-canonical) — built-in expressions
+* n-gram Jaccard near-dup — exact verification over LSH candidates
+* MinHash+LSH near-dup — :mod:`doppel_spark.operators.neardup`
+* SimHash near-dup — :mod:`doppel_spark.functions.simhash`
+* substring dedup — :mod:`doppel_spark.operators.suffix`
+* embedding-cosine near-dup — :mod:`doppel_spark.operators.similarity`
+
+"Keep-canonical" is deterministic everywhere: the survivor of a dup
+group is the minimum id, so re-runs produce byte-identical outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from doppel_spark.config import NearDupConfig
+from doppel_spark.functions.digests import full_digest
+from doppel_spark.operators.components import clusters_with_singletons, connected_components
+from doppel_spark.operators.lsh import candidate_pairs, verify_pairs_exact, with_signature
+
+
+def _digest_or_sentinel(text_col: str, id_col: str):
+    return F.coalesce(
+        full_digest(text_col),
+        F.concat(F.lit("__null_text__:"), F.col(id_col).cast("string")),
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """One row per distinct text content; survivor = min id per digest.
+
+    Window over the digest shuffles once on the digest key; the
+    map-side-combined alternative (groupBy digest → min id → semi-join)
+    is available for ultra-wide rows, but dedup output needs the full
+    row anyway so the single shuffle is the cheaper plan here.
+
+    NULL text never dedups: rows with missing content get a per-row
+    sentinel digest (≈ the reference's log-and-skip for unreadable
+    files, /root/reference/internal/scanner/scanner.go:38-52 — an
+    error row must not be merged with other error rows).
+    """
+    w = Window.partitionBy("digest").orderBy(id_col)
+    return (
+        df.withColumn("digest", _digest_or_sentinel(text_col, id_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_assignments(df: DataFrame, id_col: str = "url",
+                      text_col: str = "text") -> DataFrame:
+    """(id, canonical_id) for every row — the dedup decision as data.
+
+    canonical_id == id for survivors; group losers point at the
+    survivor. Join-friendly form for downstream lineage.
+    """
+    w = Window.partitionBy("digest")
+    return (
+        df.select(F.col(id_col), _digest_or_sentinel(text_col, id_col).alias("digest"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .select(id_col, "canonical_id")
+    )
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame, cfg: NearDupConfig | None = None,
+    id_col: str = "url", text_col: str = "text",
+) -> DataFrame:
+    """Near-dup clusters by EXACT n-gram Jaccard over LSH candidates.
+
+    Unlike the estimate-verified pipeline, candidate pairs are verified
+    with the true shingle Jaccard (pandas UDF over pair texts) before
+    clustering — the high-precision variant for final training cuts.
+    Returns (url, cluster_rep, cluster_id) covering all rows.
+    """
+    cfg = cfg or NearDupConfig()
+    sigs = with_signature(df.select(F.col(id_col), F.col(text_col)), cfg,
+                          text_col=text_col).select(id_col, "signature")
+    cand = candidate_pairs(sigs, cfg, id_col=id_col)
+    verified = verify_pairs_exact(cand, df, cfg, id_col=id_col, text_col=text_col) \
+        .filter(F.col("jaccard") >= cfg.jaccard_threshold)
+    comps = connected_components(verified.select("url_a", "url_b"))
+    return clusters_with_singletons(comps, df, id_col=id_col)
+
+
+def dedup_stats(assignments: DataFrame, id_col: str = "url") -> DataFrame:
+    """One-row summary: total, kept, removed, dup groups (>1 member)."""
+    agg = assignments.agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct("canonical_id").alias("kept_docs"),
+    )
+    grp = (
+        assignments.groupBy("canonical_id").count()
+        .agg(F.sum(F.when(F.col("count") > 1, 1).otherwise(0)).alias("dup_groups"))
+    )
+    return agg.crossJoin(grp).withColumn(
+        "removed_docs", F.col("total_docs") - F.col("kept_docs")
+    )

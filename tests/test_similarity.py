@@ -1,0 +1,73 @@
+"""Similarity search: brute-force top-k, sign-LSH ANN, embedding near-dup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from doppel_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+)
+
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _np_topk(pdf, qid, k):
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in pdf.itertuples()}
+    q = vecs[qid]
+    sims = sorted(
+        ((np.dot(v, q) / (np.linalg.norm(v) * np.linalg.norm(q)), i)
+         for i, v in vecs.items() if i != qid),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [i for _, i in sims[:k]]
+
+
+def test_cosine_column(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+                               "a array<double>, b array<double>")
+    got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    emb = spark.read.parquet(EMB)
+    pdf = emb.toPandas()
+    got = brute_force_topk(emb, [0, 7], k=5).toPandas()
+    for qid in (0, 7):
+        mine = got[got.query_id == qid].sort_values("rank")["neighbor_id"].tolist()
+        assert mine == _np_topk(pdf, qid, 5)
+
+
+def test_lsh_ann_recall_reasonable(spark):
+    emb = spark.read.parquet(EMB)
+    qids = [0, 1, 2, 3, 4]
+    exact = brute_force_topk(emb, qids, k=10).toPandas()
+    approx = lsh_ann_topk(emb, qids, k=10, n_planes=8, probe_hamming=3).toPandas()
+    e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    # random-embedding neighbors are weakly correlated (cos≈0.4 ⇒ ~37%
+    # per-plane disagreement ⇒ E[hamming]≈3/8); blocked search trades
+    # recall for cost — requires only sanity here, planted-cluster
+    # recall is asserted in test_embedding_neardup_planted
+    assert recall >= 0.35
+    assert len(a) > 0
+
+
+def test_embedding_neardup_planted(spark):
+    rng = np.random.RandomState(0)
+    base = rng.standard_normal((20, 16))
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    rows.append((100, (base[3] + rng.standard_normal(16) * 0.01).tolist()))  # near-dup of 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bf = embedding_neardup_pairs(emb, threshold=0.95, brute_force=True).collect()
+    assert {(r["id_a"], r["id_b"]) for r in bf} == {(3, 100)}
+    lsh = embedding_neardup_pairs(emb, threshold=0.95, n_planes=12,
+                                  probe_hamming=2).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} == {(3, 100)}
