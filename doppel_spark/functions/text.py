@@ -24,14 +24,19 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("long").alias("n_tokens")
 
 
+#: letters/digits runs count as one token; each other non-space char is
+#: its own token — RE2-compatible so the DuckDB oracle can reuse it.
+SUBTOKEN_PATTERN = r"[\p{L}\p{N}]+|[^\p{L}\p{N}\s]"
+
+
 def word_token_count(text: Column | str) -> Column:
     """BPE-ish subword proxy: word chunks + digit runs + punctuation marks
-    each count as a token (regex split, JVM-side)."""
+    each count as a token (regex extraction, JVM-side)."""
     t = F.col(text) if isinstance(text, str) else text
-    pieces = F.filter(
-        F.split(t, r"(?<=[^\p{L}\p{N}])|(?=[^\p{L}\p{N}])"), lambda x: F.trim(x) != ""
+    return (
+        F.size(F.regexp_extract_all(t, F.lit(SUBTOKEN_PATTERN), F.lit(0)))
+        .cast("long").alias("n_subtokens")
     )
-    return F.size(pieces).cast("long").alias("n_subtokens")
 
 
 def stopword_hits(text: Column | str, lang: str) -> Column:
@@ -108,3 +113,17 @@ def quality_score(text: Column | str, min_tokens: int = 20,
         F.round(0.4 * len_ok + 0.3 * stop_sig + 0.2 * rep_sig + 0.1 * punct_sig, 6)
         .alias("quality_score")
     )
+
+
+def quality_score_micros(text: Column | str, min_tokens: int = 20,
+                         max_tokens: int = 100_000) -> Column:
+    """``floor(quality × 10⁶)`` as a long — float-free form for exact
+    cross-engine comparison (float hashing is representation-sensitive;
+    identical IEEE expression trees floor to identical integers)."""
+    n = F.size(tokens(text))
+    len_ok = F.when((n >= min_tokens) & (n <= max_tokens), 1.0).otherwise(0.0)
+    stop_sig = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    rep_sig = distinct_token_ratio(text)
+    punct_sig = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    raw = 0.4 * len_ok + 0.3 * stop_sig + 0.2 * rep_sig + 0.1 * punct_sig
+    return F.floor(raw * 1_000_000).cast("long").alias("quality_micros")

@@ -46,35 +46,45 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    sym = sym.localCheckpoint(eager=True)
+    # fused round 1: label(u) = min(u, min(neighbors(u))) straight from
+    # the edge list — one aggregation instead of init + propagate
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("label"))
+        .select(F.col("u").alias("node"), "label")
         .localCheckpoint(eager=True)
     )
 
+    def _fingerprint(lab: DataFrame) -> tuple[int, int]:
+        row = lab.agg(
+            F.count("*").alias("n"),
+            # decimal sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"] or 0)
+
+    fp = _fingerprint(labels)
     for _ in range(max_iter):
         # propagate each node's label to its neighbors, keep the min
         prop = (
             sym.join(labels, sym.v == labels.node)
             .select(sym.u.alias("node"), "label")
         )
-        new_labels = (
+        labels = (
             labels.select("node", "label").union(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        # labels only ever decrease, so an unchanged (count, hash-sum)
+        # fingerprint ⇒ converged — one cheap agg action per round
+        # instead of a join + isEmpty
+        new_fp = _fingerprint(labels)
+        if new_fp == fp:
             break
+        fp = new_fp
 
     return labels.select(
         F.col("node").alias("url"),

@@ -138,12 +138,21 @@ def verify_pairs(
     true-positives at the threshold boundary aren't dropped — recall
     target is 0.99). Output: (url_a, url_b, jaccard_est double).
 
-    Signature join is two shuffle equi-joins on id; the signature side
-    carries only (id, 128×8 B) — at 10¹² docs that projection is ~1 TB,
-    shuffle-joinable; the text column never moves.
+    The signature table is first pruned to pair participants via a
+    semi-join (the participant id list is tiny relative to the corpus,
+    so AQE turns it into a broadcast — the full signature table is
+    never shuffled); the pruned side is then usually small enough for
+    AQE to broadcast into the pair joins too. The text column never
+    moves anywhere in this stage.
     """
-    a = sig_df.select(F.col(id_col).alias("url_a"), F.col("signature").alias("sig_a"))
-    b = sig_df.select(F.col(id_col).alias("url_b"), F.col("signature").alias("sig_b"))
+    participants = (
+        pairs.select(F.col("url_a").alias(id_col))
+        .union(pairs.select(F.col("url_b").alias(id_col)))
+        .distinct()
+    )
+    needed = sig_df.join(participants, id_col, "left_semi")
+    a = needed.select(F.col(id_col).alias("url_a"), F.col("signature").alias("sig_a"))
+    b = needed.select(F.col(id_col).alias("url_b"), F.col("signature").alias("sig_b"))
     return (
         pairs.join(a, "url_a").join(b, "url_b")
         .withColumn("jaccard_est",

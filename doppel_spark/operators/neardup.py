@@ -3,26 +3,34 @@
 Chain (cheap signal → expensive confirmation, the reference's funnel
 generalized):
 
-    pages → MinHash signatures (vectorized pandas UDF)
+    pages → exact-dedup pre-pass (sha256 digest, keep min-id rep)
+          → MinHash signatures over REPRESENTATIVES ONLY
           → LSH band keys → bucket pair explosion (skew-capped)
           → signature-agreement verification (JVM-only)
           [optional] ∪ SimHash Hamming pairs (short docs / fallback)
+          ∪ exact-group (rep → member) edges
           → connected components (hash-min label propagation)
           → clusters + skew/recall metrics
 
-Exact duplicates (Jaccard 1.0) collide in every band, so the exact-dup
-tier is a strict subset of this graph; run `exact_dup_pipeline` when
-only byte-identity is wanted (it is much cheaper — no signatures).
+The exact-dedup pre-pass is the web-scale move: real crawls are
+30–60 % byte-identical, and an exact duplicate would otherwise collide
+in *every* LSH band (maximal pair-explosion pressure) only to be
+confirmed by the far cheaper digest equality. Signatures are computed
+once per distinct text; duplicate docs rejoin the graph as
+(representative → member) edges with Jaccard 1.0, so cluster
+assignments are identical to the naive pipeline.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from doppel_spark.config import NearDupConfig
+from doppel_spark.functions.digests import full_digest
 from doppel_spark.functions.simhash import simhash_near_pairs, simhash_udf
 from doppel_spark.operators.components import connected_components
 from doppel_spark.operators.lsh import (
@@ -50,6 +58,10 @@ class NearDupResult:
             .filter(F.col("n_docs") > 1)
         )
 
+    def unpersist(self) -> None:
+        self.signatures.unpersist()
+        self.pairs.unpersist()
+
 
 def near_dup_pipeline(
     pages: DataFrame,
@@ -59,16 +71,40 @@ def near_dup_pipeline(
     use_simhash: bool = False,
 ) -> NearDupResult:
     cfg = cfg or NearDupConfig()
-    sigs = with_signature(
-        pages.select(F.col(id_col), F.col(text_col)), cfg, text_col=text_col
-    ).select(id_col, "signature")
+    base = pages.select(F.col(id_col), F.col(text_col))
+
+    # exact-dedup pre-pass: one representative (min id) per distinct text.
+    # The digest groupBy ships only (id, digest) — the text never
+    # shuffles; representatives are fetched back with a semi-join whose
+    # build side (the rep-id list) AQE broadcasts.
+    digests = base.select(F.col(id_col), full_digest(text_col))
+    rep_ids = digests.groupBy("digest").agg(F.min(id_col).alias(id_col))
+    exact_edges = (
+        digests.join(rep_ids.withColumnRenamed(id_col, "rep"), "digest")
+        .filter(F.col(id_col) != F.col("rep"))
+        .select(F.col("rep").alias("url_a"), F.col(id_col).alias("url_b"))
+    )
+    reps = base.join(rep_ids.select(id_col), id_col, "left_semi")
+
+    # Persist signatures: they feed band-key explosion AND both sides of
+    # the verification join — without persistence the (expensive) MinHash
+    # UDF re-runs 3×. At cluster scale this persist becomes a stage
+    # checkpoint table (see doppel_spark.checkpoint); the semantics are
+    # the same: compute the signal once, reuse it.
+    sigs = with_signature(reps, cfg, text_col=text_col) \
+        .select(id_col, "signature").persist(StorageLevel.MEMORY_AND_DISK)
 
     cand = candidate_pairs(sigs, cfg, id_col=id_col)
     verified = verify_pairs(cand, sigs, cfg, id_col=id_col)
 
-    edges = verified.select("url_a", "url_b")
+    # duplicate docs rejoin as rep→member edges with Jaccard 1.0
+    pairs = verified.union(
+        exact_edges.withColumn("jaccard_est", F.lit(1.0))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    edges = pairs.select("url_a", "url_b")
     if use_simhash:
-        sh = pages.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
+        sh = reps.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("simhash"))
         sh_pairs = simhash_near_pairs(sh, id_col=id_col, hamming_t=cfg.simhash_hamming,
                                       bucket_cap=cfg.bucket_cap)
         edges = edges.union(sh_pairs.select("url_a", "url_b")).distinct()
@@ -76,5 +112,5 @@ def near_dup_pipeline(
     comps = connected_components(edges)
     stats = lsh_bucket_stats(band_keys(sigs, cfg, id_col=id_col),
                              ["band_id", "band_hash"], bucket_cap=cfg.bucket_cap)
-    return NearDupResult(signatures=sigs, pairs=verified,
+    return NearDupResult(signatures=sigs, pairs=pairs,
                          clusters=comps, bucket_stats=stats)

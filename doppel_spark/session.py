@@ -72,6 +72,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle local dir: plain disk by default. (Measured: tmpfs shuffle
+    # is ~2× slower here — it competes with the UDFs for memory
+    # bandwidth, while small shuffles to disk land in the page cache and
+    # never block on physical IO.)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

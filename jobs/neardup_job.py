@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: the full dedup pipeline as a batch job.
+
+    spark-submit --py-files doppel_spark.zip jobs/neardup_job.py \
+        --input /path/to/pages_parquet [--input more_segments ...] \
+        --output /path/to/out --checkpoint /path/to/ckpt \
+        [--mode exact|near|both] [--preset docs] [--min-size 1KB] \
+        [--threshold 0.8] [--synth-docs N]
+
+Build the zip with ``python -m zipfile -c doppel_spark.zip doppel_spark``
+(or rely on the session factory, which ships the package automatically
+when running outside spark-submit). Writes groups/clusters/pairs/
+metrics parquet tables + report.json under --output; every stage
+checkpoints under --checkpoint and resumes idempotently.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", action="append", default=[],
+                   help="pages parquet path (repeatable for multiple segments)")
+    p.add_argument("--synth-docs", type=int, default=0,
+                   help="generate a synthetic corpus of N docs instead of --input")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--mode", choices=["exact", "near", "both"], default="both")
+    p.add_argument("--preset", default=None, help="named filter preset")
+    p.add_argument("--min-size", default=None, help="e.g. 1KB")
+    p.add_argument("--max-size", default=None)
+    p.add_argument("--langs", default=None, help="comma-separated allow-list")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--simhash", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = parse_args(argv)
+    from doppel_spark.config import FilterConfig, NearDupConfig, get_preset, parse_size
+    from doppel_spark.operators.exact import exact_dup_pipeline
+    from doppel_spark.operators.neardup import near_dup_pipeline
+    from doppel_spark.report import build_report, write_tables
+    from doppel_spark.session import get_spark, ship_package
+    from doppel_spark.sources import read_pages
+
+    # under spark-submit a session already exists; standalone we build one
+    active = SparkSession.getActiveSession()
+    spark = active if active is not None else get_spark(app_name="doppel_neardup_job")
+    ship_package(spark)
+
+    if args.synth_docs:
+        from doppel_spark.corpus import synth_pages
+        pages = synth_pages(spark, args.synth_docs)
+        errors = None
+    else:
+        if not args.input:
+            raise SystemExit("need --input or --synth-docs")
+        src = read_pages(spark, args.input)
+        pages, errors = src.pages, src.errors
+
+    fc = get_preset(args.preset) if args.preset else FilterConfig()
+    if args.min_size or args.max_size or args.langs:
+        fc = FilterConfig(
+            exclude_url_globs=fc.exclude_url_globs,
+            exclude_url_regexes=fc.exclude_url_regexes,
+            exclude_source_globs=fc.exclude_source_globs,
+            exclude_source_regexes=fc.exclude_source_regexes,
+            min_size=parse_size(args.min_size) if args.min_size else fc.min_size,
+            max_size=parse_size(args.max_size) if args.max_size else fc.max_size,
+            langs=tuple(args.langs.split(",")) if args.langs else fc.langs,
+        )
+    from pyspark.sql import functions as F
+
+    pages = pages.filter(fc.keep_predicate(size_col=F.length("text"),
+                                           source_col=None, lang_col="lang"))
+
+    t0 = time.time()
+    tables = {}
+    report_stats = {}
+    if args.mode in ("exact", "both"):
+        if args.checkpoint:
+            from doppel_spark.checkpoint import CheckpointStore, run_exact_dedup_checkpointed
+            store = CheckpointStore(spark, os.path.join(args.checkpoint, "exact"),
+                                    run_config=repr(fc))
+            staged = run_exact_dedup_checkpointed(store, pages, size_col=None)
+            tables["groups"] = staged["groups"]
+        else:
+            res = exact_dup_pipeline(pages, size_col=None)
+            tables["groups"] = res.groups
+            report = build_report(res, duration_s=time.time() - t0)
+            report_stats = report.stats
+    if args.mode in ("near", "both"):
+        ndr = near_dup_pipeline(pages, NearDupConfig(jaccard_threshold=args.threshold),
+                                use_simhash=args.simhash)
+        tables["clusters"] = ndr.clusters
+        tables["pairs"] = ndr.pairs
+        tables["bucket_stats"] = ndr.bucket_stats
+    if errors is not None:
+        tables["error_rows"] = errors
+
+    write_tables(args.output, **tables)
+    duration = time.time() - t0
+    summary = {
+        "duration_s": round(duration, 3),
+        "mode": args.mode,
+        "tables": {k: f"{args.output}/{k}" for k in tables},
+        "stats": {k: (int(v) if isinstance(v, int) else v)
+                  for k, v in report_stats.items()},
+    }
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "report.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

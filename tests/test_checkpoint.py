@@ -79,3 +79,26 @@ def test_full_pipeline_checkpointed_idempotent(spark, tmp_path):
     stages = [m["stage"] for m in
               CheckpointStore(spark, str(tmp_path / "c1"), run_config="cfg").metrics()]
     assert stages == ["s1_length_candidates", "s2_quick_candidates", "s3_dup_groups"]
+
+
+def test_neardup_checkpointed_resume(spark, tmp_path):
+    from doppel_spark.checkpoint import run_neardup_checkpointed
+
+    pages = synth_pages(spark, 150)
+    store = CheckpointStore(spark, str(tmp_path / "nd"), run_config="v1")
+    r1 = run_neardup_checkpointed(store, pages)
+    c1 = {(r["url"], r["cluster_rep"]) for r in r1["clusters"].collect()}
+    assert c1
+    # resume: all five stages reused, identical clusters
+    store2 = CheckpointStore(spark, str(tmp_path / "nd"), run_config="v1")
+    r2 = run_neardup_checkpointed(store2, pages)
+    c2 = {(r["url"], r["cluster_rep"]) for r in r2["clusters"].collect()}
+    assert c1 == c2
+    stages = [m["stage"] for m in store.metrics()]
+    assert stages == ["n0_exact_reps", "n1_signatures", "n2_candidates",
+                      "n3_verified", "n4_clusters"]
+    # clusters match the non-checkpointed pipeline
+    from doppel_spark.operators.neardup import near_dup_pipeline
+    live = near_dup_pipeline(pages)
+    c3 = {(r["url"], r["cluster_rep"]) for r in live.clusters.collect()}
+    assert c3 == c1

@@ -126,12 +126,15 @@ def test_lsh_recall_on_planted_corpus(spark):
                           pp[["url_a", "url_b"]].itertuples(index=False)]
     want = pp[pp["true_jaccard"] >= CFG.jaccard_threshold]
     want_pairs = {tuple(sorted(t)) for t in want[["url_a", "url_b"]].itertuples(index=False)}
-    hit = len(want_pairs & found)
-    recall = hit / len(want_pairs)
-    assert recall >= 0.99, f"recall {recall}: {len(want_pairs)-hit} planted pairs missed"
-    # clusters: every exact group collapses into one cluster
+    # recall = cluster co-membership (the contract is cluster
+    # assignments; exact dups enter the graph via rep→member edges, so
+    # the raw pair list need not contain every within-group pair)
     clusters = res.clusters.toPandas()
     rep = dict(zip(clusters["url"], clusters["cluster_rep"]))
+    hit = sum(1 for a, b in want_pairs if rep.get(a) is not None
+              and rep.get(a) == rep.get(b))
+    recall = hit / len(want_pairs)
+    assert recall >= 0.99, f"recall {recall}: {len(want_pairs)-hit} planted pairs missed"
     lo = CorpusLayout.plan(n)
     for g in range(lo.n_exact_groups):
         urls = [u for u in rep if f"/exact/{g:08d}/" in u]

@@ -1,0 +1,47 @@
+"""Report sinks + the spark-submit job entrypoint."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+from doppel_spark.operators.exact import exact_dup_pipeline
+from doppel_spark.report import DuplicateReport, build_report
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def test_report_json_and_pretty(spark, docs):
+    res = exact_dup_pipeline(docs, size_col=None)
+    rep = build_report(res, duration_s=1.5)
+    data = json.loads(rep.to_json())
+    assert data["duplicate_groups"] == 2
+    assert data["stats"]["duplicate_docs"] == 5
+    text = rep.pretty()
+    assert "duplicate groups: 2" in text
+    assert "docs/sec" in text  # the reference's processing-rate line
+
+
+def test_job_entrypoint_end_to_end(tmp_path):
+    """Run the job script as a real subprocess (the spark-submit shape)."""
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "neardup_job.py"),
+         "--synth-docs", "150", "--output", str(out),
+         "--checkpoint", str(ckpt), "--mode", "both"],
+        capture_output=True, text=True, timeout=420, env=env, cwd="/tmp",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    summary = json.loads((out / "report.json").read_text())
+    assert summary["mode"] == "both"
+    assert (out / "groups" / "_SUCCESS").exists()
+    assert (out / "clusters" / "_SUCCESS").exists()
+    assert (out / "pairs" / "_SUCCESS").exists()
+    # checkpoint published manifests for all exact stages
+    stages = sorted(os.listdir(ckpt / "exact"))
+    assert stages == ["s1_length_candidates", "s2_quick_candidates", "s3_dup_groups"]
