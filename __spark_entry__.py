@@ -173,6 +173,71 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only (hash-function-defined; no ANSI-SQL oracle possible) --------
 
 
+def _q_quick_digest_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quick-digest collision buckets among length candidates; the digest
+    # value is engine-internal, so expose bucket (size, n_docs) stats —
+    # the oracle groups by the sample substring (equal sample ⇔ equal
+    # digest, which is the piecewise contract under test)
+    from doppel_spark.operators.exact import length_candidates, multi_member_keys
+    from doppel_spark.functions.digests import quick_digest
+
+    docs = _docs(spark, sf_dir)
+    cand = length_candidates(docs, size_col="n_chars", id_col="doc_id")
+    qc = cand.withColumn("quick_digest", quick_digest("text"))
+    return (
+        qc.groupBy("quick_digest")
+        .agg(F.count("*").alias("n_docs"), F.first("size").alias("size"))
+        .filter(F.col("n_docs") > 1)
+        .select("size", "n_docs")
+    )
+
+
+def _q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir).groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("total_chars"),
+             F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+    )
+
+
+def _q_lang_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same result as lang_stats via explicit two-phase salted aggregation
+    from doppel_spark.operators.salting import salted_agg
+
+    out = salted_agg(_docs(spark, sf_dir), ["lang"], "doc_id",
+                     {"n_docs": ("n_chars", "count"),
+                      "total_chars": ("n_chars", "sum"),
+                      "min_chars": ("n_chars", "min"),
+                      "max_chars": ("n_chars", "max")}, shards=8)
+    return out.select("lang", F.col("n_docs").cast("long").alias("n_docs"),
+                      F.col("total_chars").cast("long").alias("total_chars"),
+                      "min_chars", "max_chars")
+
+
+def _q_longest_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-k per group: window rank, deterministic tie-break on doc_id
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "doc_id", "n_chars", "rank")
+    )
+
+
+def _q_events_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"),
+             F.floor(F.sum("value") * 100).cast("long").alias("value_centis"))
+    )
+
+
 def _q_minhash_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     docs = _docs(spark, sf_dir).withColumn("url", F.col("doc_id").cast("string"))
@@ -217,6 +282,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality_scores,
+        "quick_digest_buckets": _q_quick_digest_buckets,
+        "lang_stats": _q_lang_stats,
+        "lang_stats_salted": _q_lang_stats_salted,
+        "longest_docs_per_lang": _q_longest_docs_per_lang,
+        "events_by_hour": _q_events_by_hour,
         "ann_topk": _q_ann_topk,
         "emb_neardup": _q_emb_neardup,
         "multimodal_meta": _q_multimodal_meta,
@@ -356,6 +426,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_sql(),
         "quality_scores": _quality_sql(),
+        "quick_digest_buckets": f"""
+            WITH cand AS (
+              SELECT * FROM documents WHERE n_chars IN (
+                SELECT n_chars FROM documents GROUP BY 1 HAVING count(*) > 1)
+            )
+            SELECT min(n_chars) AS size, CAST(count(*) AS BIGINT) AS n_docs
+            FROM cand GROUP BY ({QUICK_SAMPLE_SQL}) HAVING count(*) > 1
+        """,
+        "lang_stats": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "lang_stats_salted": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "longest_docs_per_lang": """
+            WITH r AS (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rank
+              FROM documents
+            )
+            SELECT lang, doc_id, n_chars, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
+        """,
+        "events_by_hour": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(floor(sum(value) * 100) AS BIGINT) AS value_centis
+            FROM events GROUP BY 1, 2
+        """,
         "ann_topk": f"""
             WITH q AS (
               SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
