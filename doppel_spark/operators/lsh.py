@@ -46,24 +46,21 @@ def with_signature(df: DataFrame, cfg: NearDupConfig, text_col: str = "text") ->
 
 
 def band_keys(sig_df: DataFrame, cfg: NearDupConfig, id_col: str = "url") -> DataFrame:
-    """Explode each signature into (band_id, band_hash) keys.
+    """Explode each signature into band-hash bucket keys.
 
-    band_hash = xxhash64 of the band's signature slice — computed
-    JVM-side from the array column; one output row per (doc, band).
+    band_hash = xxhash64(band index, band's signature slice) — the band
+    index is folded INTO the hash instead of traveling as a column, so
+    the exploded output is exactly (id, band_hash): 32 rows × 16 bytes
+    per doc through the shuffle and nothing else. A cross-band hash
+    collision merely merges two buckets — extra candidates that
+    verification discards — so no correctness rides on the fold.
     """
     r = cfg.rows_per_band
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.xxhash64(b, F.slice(F.col("signature"), b * r + 1, r)).alias("band_hash"),
-        ),
+        lambda b: F.xxhash64(b, F.slice(F.col("signature"), b * r + 1, r)),
     )
-    return (
-        sig_df.select(F.col(id_col), F.explode(bands).alias("bk"))
-        .select(id_col, F.col("bk.band_id").alias("band_id"),
-                F.col("bk.band_hash").alias("band_hash"))
-    )
+    return sig_df.select(F.col(id_col), F.explode(bands).alias("band_hash"))
 
 
 def pairs_from_buckets(
@@ -126,7 +123,7 @@ def lsh_bucket_stats(exploded: DataFrame, key_cols: list[str],
 def candidate_pairs(sig_df: DataFrame, cfg: NearDupConfig, id_col: str = "url") -> DataFrame:
     """MinHash-LSH candidate pairs (url_a < url_b), deduped across bands."""
     exploded = band_keys(sig_df, cfg, id_col=id_col)
-    return pairs_from_buckets(exploded, ["band_id", "band_hash"],
+    return pairs_from_buckets(exploded, ["band_hash"],
                               id_col=id_col, bucket_cap=cfg.bucket_cap)
 
 

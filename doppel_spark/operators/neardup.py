@@ -91,11 +91,33 @@ def near_dup_pipeline(
     # UDF re-runs 3×. At cluster scale this persist becomes a stage
     # checkpoint table (see doppel_spark.checkpoint); the semantics are
     # the same: compute the signal once, reuse it.
+    #
+    # The LSH path runs on 64-bit surrogate ids (`rid = xxhash64(url)`):
+    # the band explosion multiplies row count ×bands, so shuffling a
+    # ~45-byte url string there dominates the wire cost — 16-byte
+    # (rid, band_hash) rows cut it ~3×. A rid collision only creates a
+    # spurious candidate pair that signature verification discards
+    # (expected spurious pairs ≈ n²/2⁶⁴ — a handful even at 10¹² docs);
+    # true-pair loss requires both members to collide, ~2⁻⁶⁴ per pair.
     sigs = with_signature(reps, cfg, text_col=text_col) \
-        .select(id_col, "signature").persist(StorageLevel.MEMORY_AND_DISK)
+        .select(id_col, F.xxhash64(id_col).alias("rid"), "signature") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-    cand = candidate_pairs(sigs, cfg, id_col=id_col)
-    verified = verify_pairs(cand, sigs, cfg, id_col=id_col)
+    cand_rid = candidate_pairs(sigs.select(F.col("rid"), "signature"),
+                               cfg, id_col="rid")
+    verified_rid = verify_pairs(cand_rid, sigs.select("rid", "signature"),
+                                cfg, id_col="rid")
+    # map rids back to urls (pairs are small; AQE broadcasts them)
+    rid_url = sigs.select("rid", F.col(id_col))
+    verified = (
+        verified_rid
+        .join(rid_url.select(F.col("rid").alias("url_a"),
+                             F.col(id_col).alias("_ua")), "url_a")
+        .join(rid_url.select(F.col("rid").alias("url_b"),
+                             F.col(id_col).alias("_ub")), "url_b")
+        .select(F.col("_ua").alias("url_a"), F.col("_ub").alias("url_b"),
+                "jaccard_est")
+    )
 
     # duplicate docs rejoin as rep→member edges with Jaccard 1.0
     pairs = verified.union(
@@ -110,7 +132,8 @@ def near_dup_pipeline(
         edges = edges.union(sh_pairs.select("url_a", "url_b")).distinct()
 
     comps = connected_components(edges)
-    stats = lsh_bucket_stats(band_keys(sigs, cfg, id_col=id_col),
-                             ["band_id", "band_hash"], bucket_cap=cfg.bucket_cap)
+    stats = lsh_bucket_stats(
+        band_keys(sigs.select(F.col("rid"), "signature"), cfg, id_col="rid"),
+        ["band_hash"], bucket_cap=cfg.bucket_cap)
     return NearDupResult(signatures=sigs, pairs=pairs,
                          clusters=comps, bucket_stats=stats)

@@ -119,6 +119,95 @@ def lsh_ann_topk(
     )
 
 
+def ivf_centroids(emb: DataFrame, n_centroids: int, seed: int = 42,
+                  vec_col: str = "embedding", sample_cap: int = 50_000,
+                  iters: int = 5) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: mini k-means on a seeded sample.
+
+    The sample is tiny relative to the corpus (``sample_cap`` rows via
+    a deterministic hash-ordered take), Lloyd iterations run in numpy on
+    the driver, and the resulting centroid matrix is broadcast as plan
+    literals — no ML-library dependency, no fit state to manage.
+    """
+    from pyspark.sql import functions as F2
+
+    sample = (
+        emb.select(_as_double(vec_col).alias("vec"),
+                   F2.xxhash64(F2.col(vec_col).cast("string")).alias("_h"))
+        .orderBy("_h").limit(sample_cap).select("vec").toPandas()
+    )
+    x = np.array(sample["vec"].tolist(), dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Add ``ivf_cell`` = argmax-dot-product centroid id (pure Catalyst).
+
+    The centroid matrix rides into the plan as literal arrays; the
+    argmax is a fold over per-centroid dot products — JVM-side, no UDF.
+    """
+    vec = _as_double(vec_col)
+    best_id, best_dot = F.lit(0), F.lit(float("-inf"))
+    for i, c in enumerate(centroids):
+        plane = F.array(*[F.lit(float(v)) for v in c])
+        d = dot(vec, plane)
+        better = d > best_dot
+        best_id = F.when(better, F.lit(i)).otherwise(best_id)
+        best_dot = F.when(better, d).otherwise(best_dot)
+    return emb.withColumn("ivf_cell", best_id.cast("int"))
+
+
+def ivf_ann_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10, n_centroids: int = 16,
+    n_probe: int = 2, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: search only the ``n_probe`` cells nearest to each
+    query. Same output schema as :func:`brute_force_topk`."""
+    cent = ivf_centroids(emb, n_centroids, seed, vec_col)
+    assigned = ivf_assign(emb, cent, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("vec"),
+        "ivf_cell")
+    qrows = assigned.filter(F.col("neighbor_id").isin(query_ids)) \
+        .select(F.col("neighbor_id").alias("query_id"), F.col("vec").alias("qvec")) \
+        .toPandas()
+    # driver-side probe-cell selection per query (queries are few)
+    probes = []
+    for r in qrows.itertuples():
+        q = np.array(r.qvec)
+        q = q / max(np.linalg.norm(q), 1e-12)
+        order = (cent @ q).argsort()[::-1][:n_probe]
+        for cell in order:
+            probes.append((int(r.query_id), int(cell)))
+    spark = emb.sparkSession
+    probe_df = spark.createDataFrame(probes, "query_id long, ivf_cell int")
+    queries = assigned.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"), F.col("vec").alias("qvec"))
+    cand = (
+        assigned.join(F.broadcast(probe_df), "ivf_cell")
+        .join(F.broadcast(queries), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", cosine(F.col("vec"), F.col("qvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",

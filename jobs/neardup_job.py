@@ -101,11 +101,19 @@ def main(argv: list[str] | None = None) -> None:
             report = build_report(res, duration_s=time.time() - t0)
             report_stats = report.stats
     if args.mode in ("near", "both"):
-        ndr = near_dup_pipeline(pages, NearDupConfig(jaccard_threshold=args.threshold),
-                                use_simhash=args.simhash)
-        tables["clusters"] = ndr.clusters
-        tables["pairs"] = ndr.pairs
-        tables["bucket_stats"] = ndr.bucket_stats
+        ncfg = NearDupConfig(jaccard_threshold=args.threshold)
+        if args.checkpoint:
+            from doppel_spark.checkpoint import CheckpointStore, run_neardup_checkpointed
+            nstore = CheckpointStore(spark, os.path.join(args.checkpoint, "near"),
+                                     run_config=(repr(fc), repr(ncfg)))
+            staged = run_neardup_checkpointed(nstore, pages, ncfg)
+            tables["clusters"] = staged["clusters"]
+            tables["pairs"] = staged["verified"]
+        else:
+            ndr = near_dup_pipeline(pages, ncfg, use_simhash=args.simhash)
+            tables["clusters"] = ndr.clusters
+            tables["pairs"] = ndr.pairs
+            tables["bucket_stats"] = ndr.bucket_stats
     if errors is not None:
         tables["error_rows"] = errors
 

@@ -154,7 +154,7 @@ def test_hot_bucket_cap_engages_and_is_reported(spark):
     n_hot = pages.count()
     assert n_hot > 16
     sigs = with_signature(pages, cfg).select("url", "signature")
-    stats = lsh_bucket_stats(band_keys(sigs, cfg), ["band_id", "band_hash"],
+    stats = lsh_bucket_stats(band_keys(sigs, cfg), ["band_hash"],
                              bucket_cap=cfg.bucket_cap).collect()[0]
     assert stats["capped_buckets"] > 0
     assert stats["pairs_skipped_by_cap"] > 0

@@ -42,6 +42,9 @@ def test_job_entrypoint_end_to_end(tmp_path):
     assert (out / "groups" / "_SUCCESS").exists()
     assert (out / "clusters" / "_SUCCESS").exists()
     assert (out / "pairs" / "_SUCCESS").exists()
-    # checkpoint published manifests for all exact stages
+    # checkpoint published manifests for all exact + near stages
     stages = sorted(os.listdir(ckpt / "exact"))
     assert stages == ["s1_length_candidates", "s2_quick_candidates", "s3_dup_groups"]
+    nstages = sorted(os.listdir(ckpt / "near"))
+    assert nstages == ["n0_exact_reps", "n1_signatures", "n2_candidates",
+                       "n3_verified", "n4_clusters"]
