@@ -186,7 +186,7 @@ def _q_quick_digest_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     qc = cand.withColumn("quick_digest", quick_digest("text"))
     return (
         qc.groupBy("quick_digest")
-        .agg(F.count("*").alias("n_docs"), F.first("size").alias("size"))
+        .agg(F.count("*").alias("n_docs"), F.min("size").alias("size"))
         .filter(F.col("n_docs") > 1)
         .select("size", "n_docs")
     )

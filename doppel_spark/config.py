@@ -165,7 +165,10 @@ class FilterConfig:
         excl = F.lit(False)
         for g in globs:
             if any(ch in g for ch in "[]"):  # character classes → regex fallback
-                excl = excl | F.col(col).rlike(fnmatch.translate(g))
+                # rlike searches unanchored; fnmatch.translate end-anchors
+                # (\Z) only — prefix ^ for full-string match like the
+                # like() branch and the reference's filepath.Match
+                excl = excl | F.col(col).rlike("^" + fnmatch.translate(g))
             else:
                 excl = excl | F.col(col).like(_glob_to_like(g))
         for rx in regexes:

@@ -59,8 +59,12 @@ def quick_digest(text: Column | str) -> Column:
             F.substring(t, -QUICK_SAMPLE, QUICK_SAMPLE),
         )
     )
+    # NULL text takes the same 0 sentinel as empty text (the reference
+    # never reads unreadable files at all — scanner.go:38-52 routes them
+    # to the error channel; a NULL here must not hash to xxhash64(NULL)'s
+    # seed constant and collide into a shared bucket)
     return (
-        F.when(F.length(t) <= 0, F.lit(0).cast("long"))
+        F.when(t.isNull() | (F.length(t) <= 0), F.lit(0).cast("long"))
         .otherwise(F.xxhash64(sample))
         .alias("quick_digest")
     )

@@ -167,9 +167,9 @@ def minhash_signature_udf(num_perm: int = 128, k: int = 5, seed: int = 42):
                 if m > buf.shape[1]:
                     buf = np.empty((_PERM_CHUNK, m), dtype=np.uint64)
                 for i in range(0, num_perm, _PERM_CHUNK):
-                    np.multiply(consts[i : i + _PERM_CHUNK, None], h[None, :],
-                                out=buf[:, :m])
-                    sig[i : i + _PERM_CHUNK] = buf[:, :m].min(axis=1)
+                    c = consts[i : i + _PERM_CHUNK]  # final chunk may be short
+                    np.multiply(c[:, None], h[None, :], out=buf[: len(c), :m])
+                    sig[i : i + len(c)] = buf[: len(c), :m].min(axis=1)
                 # mask to 63 bits so LongType stays non-negative
                 out.append((sig >> np.uint64(1)).astype(np.int64))
         return pd.Series(out)

@@ -30,17 +30,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ComponentsNotConverged(RuntimeError):
+    """Label propagation still changing at ``max_iter`` — returning the
+    partial labels would silently split true clusters (the repo's
+    no-silent-caps rule forbids that)."""
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "url_a",
     dst: str = "url_b",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Components of the undirected graph given by ``edges``.
 
     Returns (url string, cluster_rep string, cluster_id long); every
     node appearing in any edge gets a row. Deterministic: the cluster
     representative is the lexicographically smallest member.
+
+    Convergence needs ~diameter rounds (hash-min propagation); long
+    near-dup drift chains can exceed ``max_iter``. Non-convergence
+    **raises** :class:`ComponentsNotConverged` by default; with
+    ``strict=False`` it warns and returns the partial labels instead.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -66,6 +78,7 @@ def connected_components(
         return int(row["n"]), int(row["h"] or 0)
 
     fp = _fingerprint(labels)
+    converged = False
     for _ in range(max_iter):
         # propagate each node's label to its neighbors, keep the min
         prop = (
@@ -83,8 +96,19 @@ def connected_components(
         # instead of a join + isEmpty
         new_fp = _fingerprint(labels)
         if new_fp == fp:
+            converged = True
             break
         fp = new_fp
+
+    if not converged:
+        msg = (f"connected_components: labels still changing after "
+               f"{max_iter} rounds (component diameter > max_iter); "
+               f"returned clusters would be silently split")
+        if strict:
+            raise ComponentsNotConverged(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     return labels.select(
         F.col("node").alias("url"),

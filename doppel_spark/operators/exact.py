@@ -117,7 +117,10 @@ def dup_groups(
         hashed.groupBy("digest")
         .agg(
             F.count("*").alias("n_docs"),
-            F.first("size").alias("size"),
+            # min, not first: deterministic and oracle-reproducible (a
+            # digest group always shares one size, but quick-digest
+            # buckets upstream may not — keep the aggregate order-free)
+            F.min("size").alias("size"),
             members.alias("urls"),
         )
         .filter(F.col("n_docs") > 1)

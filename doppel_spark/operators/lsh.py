@@ -72,11 +72,27 @@ def pairs_from_buckets(
     Small buckets (≤ cap): all C(m,2) pairs via Catalyst combination
     explosion. Oversized buckets: star pairs around the minimum id.
     Output: (url_a, url_b) with url_a < url_b.
+
+    **Nothing here ever materializes an unbounded array.** Bucket size
+    and min-id come from a slim pre-aggregate; ``collect_set`` runs only
+    on rows already proven to sit in a ≤ cap bucket, so a 10⁶-member
+    boilerplate bucket never builds a 10⁶-element array in one reducer —
+    its star pairs stream straight out of the (key, id, min_id) rows.
+    Costs one extra shuffle of 16-byte (key, id) rows vs the naive
+    collect-then-cap plan; that is the price of bounded memory at scale.
     """
-    buckets = (
-        exploded.groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+    slim = exploded.select(*key_cols, id_col)
+    # tiny aggregate: distinct-member count + survivor per bucket
+    stats = (
+        slim.groupBy(*key_cols)
+        .agg(F.countDistinct(id_col).alias("m"), F.min(id_col).alias("min_id"))
+        .filter(F.col("m") > 1)
+    )
+    keyed = slim.join(stats, key_cols)
+    small = (
+        keyed.filter(F.col("m") <= bucket_cap)
+        .groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))  # |ids| ≤ cap
     )
     all_pairs = F.flatten(
         F.transform(
@@ -87,16 +103,13 @@ def pairs_from_buckets(
             ),
         )
     )
-    star_pairs = F.transform(
-        F.slice(F.col("ids"), 2, F.size("ids")),
-        lambda y: F.struct(F.element_at("ids", 1).alias("url_a"), y.alias("url_b")),
+    small_pairs = small.select(F.explode(all_pairs).alias("p")) \
+        .select("p.url_a", "p.url_b")
+    star_pairs = (
+        keyed.filter((F.col("m") > bucket_cap) & (F.col(id_col) != F.col("min_id")))
+        .select(F.col("min_id").alias("url_a"), F.col(id_col).alias("url_b"))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.when(F.size("ids") <= bucket_cap, all_pairs).otherwise(star_pairs)
-        ).alias("p")
-    ).select("p.url_a", "p.url_b")
-    return pairs.distinct()
+    return small_pairs.union(star_pairs).distinct()
 
 
 def lsh_bucket_stats(exploded: DataFrame, key_cols: list[str],

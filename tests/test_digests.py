@@ -81,3 +81,10 @@ def test_full_digest_matches_python_sha256(spark):
     df = spark.createDataFrame([(s,)], "text string")
     got = df.select(full_digest("text")).collect()[0][0]
     assert got == hashlib.sha256(s.encode()).hexdigest()
+
+
+def test_null_text_digest_zero(spark):
+    # NULL text takes the same 0 sentinel as empty (never xxhash64(NULL))
+    df = spark.createDataFrame([(None,), ("",), ("abc",)], "text string")
+    got = [r[0] for r in df.select(quick_digest("text")).collect()]
+    assert got[0] == 0 and got[1] == 0 and got[2] != 0

@@ -128,3 +128,17 @@ def test_members_cap_keeps_true_count(spark):
     g = res.groups.collect()[0]
     assert g["n_docs"] == 10 and len(g["urls"]) == 3
     assert g["urls"] == ["u00", "u01", "u02"]  # sorted then sliced
+
+
+def test_charclass_glob_full_string_match(spark):
+    # '[ab]x.txt' must match full-string (like filepath.Match), not any
+    # suffix — 'zzzax.txt' stays, 'ax.txt' is excluded
+    from doppel_spark.config import FilterConfig
+
+    fc = FilterConfig(exclude_url_globs=("[ab]x.txt",))
+    df = spark.createDataFrame(
+        [("ax.txt", "t", 1), ("bx.txt", "t", 1), ("zzzax.txt", "t", 1)],
+        "url string, text string, n_chars long")
+    kept = {r[0] for r in df.filter(
+        fc.keep_predicate(source_col=None, lang_col=None)).select("url").collect()}
+    assert kept == {"zzzax.txt"}

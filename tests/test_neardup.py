@@ -186,3 +186,27 @@ def test_simhash_deterministic(spark):
     v1 = df.select(simhash_udf()(F.col("text"))).collect()[0][0]
     v2 = df.select(simhash_udf()(F.col("text"))).collect()[0][0]
     assert v1 == v2 and isinstance(v1, int)
+
+
+def test_minhash_num_perm_not_chunk_multiple(spark):
+    # num_perm=80 is not a multiple of the 32-perm L2 chunk; the UDF
+    # must slice the final short chunk instead of crashing
+    df = spark.createDataFrame([("a b c d e f g",), ("x y z",)], "text string")
+    mh = minhash_signature_udf(num_perm=80, k=3)
+    sigs = [r[0] for r in df.select(mh("text")).collect()]
+    assert all(len(s) == 80 for s in sigs)
+
+
+def test_components_nonconvergence_raises(spark):
+    from doppel_spark.operators.components import (
+        ComponentsNotConverged,
+        connected_components as cc,
+    )
+
+    chain = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(12)]
+    edges = spark.createDataFrame(chain, "url_a string, url_b string")
+    with pytest.raises(ComponentsNotConverged):
+        cc(edges, max_iter=1).collect()
+    with pytest.warns(RuntimeWarning):
+        got = cc(edges, max_iter=1, strict=False)
+        got.collect()
