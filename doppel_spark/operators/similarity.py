@@ -10,17 +10,29 @@ Two tiers, mirroring the engine's cheap-signal-first doctrine:
   queries ≪ corpus, which is the ANN-probe shape.
 * **Sign-LSH (random hyperplane) bucketed ANN** — the scale path: a
   deterministic set of hyperplanes maps every vector to a bit-sign
-  bucket key; probing searches only buckets within small Hamming
-  distance of the query's key. Recall/latency traded via n_planes and
-  probe radius. Hyperplanes are generated from the seed, broadcast as
-  literal arrays — no fit/state.
+  bucket key; each query's key is expanded driver-side into its full
+  Hamming-≤probe neighborhood and **equi-joined** against the corpus
+  bucket column, so the probe prunes input through the join key
+  instead of filtering a full scan. Recall/latency traded via n_planes
+  and probe radius. Hyperplanes are generated from the seed — no
+  fit/state.
+* **Banded sign-LSH near-dup pairs** — all-pairs near-dup blocking is
+  the same OR-construction as text MinHash-LSH: b bands × r
+  hyperplane sign bits per band, band key = hash(band, bits),
+  candidates from bucket explosion (shared ``pairs_from_buckets``
+  machinery, caps included), then one JVM cosine per candidate. No
+  non-equi join exists anywhere on the scale path.
 """
 
 from __future__ import annotations
 
+from itertools import combinations
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -86,29 +98,58 @@ def sign_bucket(vec: Column, planes: np.ndarray) -> Column:
     return key
 
 
+def _hamming_ball(bucket: int, n_planes: int, radius: int) -> list[int]:
+    """All bucket keys within Hamming distance ``radius`` of ``bucket``."""
+    out = [bucket]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_planes), r):
+            mask = 0
+            for b in bits:
+                mask |= 1 << b
+            out.append(bucket ^ mask)
+    return out
+
+
 def lsh_ann_topk(
     emb: DataFrame, query_ids: list[int], k: int = 10, n_planes: int = 12,
     probe_hamming: int = 1, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: search only sign-LSH buckets within
-    ``probe_hamming`` of each query's bucket. Same output schema as
-    :func:`brute_force_topk`; recall < 1 by design."""
-    dim = len(emb.select(vec_col).first()[0])
+    """Approximate top-k via a true bucket probe: each query's sign
+    bucket is expanded driver-side into its Hamming-≤ ``probe_hamming``
+    neighborhood (C(n_planes, ≤probe) keys — tiny for few queries) and
+    **equi-joined** against the corpus bucket column. The probe prunes
+    candidate rows through the broadcast-hash join key; no full-corpus
+    Hamming filter runs. Same output schema as :func:`brute_force_topk`;
+    recall < 1 by design.
+
+    ``dim`` avoids a driver round-trip when known; if None it is read
+    from one corpus row at plan-build time.
+    """
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_planes, seed)
     base = emb.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(vec_col).alias("vec"))
     base = base.withColumn("bucket", sign_bucket(F.col("vec"), planes))
-    queries = (
+    qrows = (
         base.filter(F.col("neighbor_id").isin(query_ids))
         .select(F.col("neighbor_id").alias("query_id"),
                 F.col("vec").alias("qvec"), F.col("bucket").alias("qbucket"))
+        .collect()
     )
+    spark = emb.sparkSession
+    probe_rows = [
+        (r["query_id"], r["qvec"], key)
+        for r in qrows
+        for key in _hamming_ball(r["qbucket"], n_planes, probe_hamming)
+    ]
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qvec array<double>, bucket long")
     joined = (
-        base.crossJoin(F.broadcast(queries))
+        base.join(F.broadcast(probes), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .filter(F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
-                <= probe_hamming)
         .withColumn("sim", cosine(F.col("vec"), F.col("qvec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -124,18 +165,29 @@ def ivf_centroids(emb: DataFrame, n_centroids: int, seed: int = 42,
                   iters: int = 5) -> np.ndarray:
     """Deterministic IVF coarse quantizer: mini k-means on a seeded sample.
 
-    The sample is tiny relative to the corpus (``sample_cap`` rows via
-    a deterministic hash-ordered take), Lloyd iterations run in numpy on
-    the driver, and the resulting centroid matrix is broadcast as plan
-    literals — no ML-library dependency, no fit state to manage.
+    The sample is tiny relative to the corpus (≤ ``sample_cap`` rows),
+    selected by a **deterministic hash-threshold predicate** — a plain
+    filter the scan evaluates in place, never a global sort (an
+    ``orderBy.limit`` would sort 10¹² rows to pick 50k). The row count
+    needed to calibrate the threshold is one columnless count
+    (manifest/row-group-stats level on parquet). Driver-side numpy then
+    sorts the ≲1.2×cap survivors by hash and truncates — deterministic
+    regardless of partition layout. Lloyd iterations run in numpy on
+    the driver; the centroid matrix is broadcast as plan literals — no
+    ML-library dependency, no fit state to manage.
     """
     from pyspark.sql import functions as F2
 
+    n_rows = emb.count()
+    frac = min(1.0, sample_cap * 1.2 / max(n_rows, 1))
+    denom = 1 << 30
+    h = F2.pmod(F2.xxhash64(F2.col(vec_col).cast("string")), F2.lit(denom))
     sample = (
-        emb.select(_as_double(vec_col).alias("vec"),
-                   F2.xxhash64(F2.col(vec_col).cast("string")).alias("_h"))
-        .orderBy("_h").limit(sample_cap).select("vec").toPandas()
+        emb.select(_as_double(vec_col).alias("vec"), h.alias("_h"))
+        .filter(F2.col("_h") < int(frac * denom))
+        .toPandas()
     )
+    sample = sample.sort_values("_h", kind="mergesort").head(sample_cap)
     x = np.array(sample["vec"].tolist(), dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -208,39 +260,84 @@ def ivf_ann_topk(
     )
 
 
+def sign_band_keys_udf(planes: np.ndarray, bands: int, rows_per_band: int):
+    """pandas UDF: vector → array<long> of ``bands`` band-bucket keys.
+
+    One Arrow batch = one numpy matmul against the (bands×r, dim) plane
+    matrix; each band's r sign bits pack into an int and mix with the
+    band index (splitmix64) so cross-band buckets never merge. Vector
+    math never leaves numpy; no per-row Python.
+    """
+    from doppel_spark.functions.minhash import splitmix64
+
+    pm = planes.astype(np.float64)
+    band_salt = splitmix64(np.arange(bands, dtype=np.uint64))
+    weights = (np.uint64(1) << np.arange(rows_per_band, dtype=np.uint64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        bits = (x @ pm.T) >= 0                          # (n, bands*r)
+        packed = (bits.reshape(len(x), bands, rows_per_band).astype(np.uint64)
+                  * weights[None, None, :]).sum(axis=2, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            keys = splitmix64(packed + band_salt[None, :])
+        out = (keys >> np.uint64(1)).astype(np.int64)  # non-negative longs
+        return pd.Series(list(out))
+
+    return band_keys
+
+
 def embedding_neardup_pairs(
     emb: DataFrame, threshold: float = 0.95,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    n_planes: int = 12, probe_hamming: int = 2, seed: int = 42,
-    brute_force: bool = False,
+    bands: int = 16, rows_per_band: int = 16, seed: int = 42,
+    bucket_cap: int = 256, brute_force: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs of vectors with cosine ≥ threshold (id_a < id_b, sim).
 
-    ``brute_force=True`` compares all pairs (oracle/test scale only);
-    default blocks by sign-LSH bucket and compares within-or-near
-    buckets — near-identical vectors agree on almost all hyperplane
-    signs, so bucket blocking keeps recall high at a fraction of the
-    O(n²) cost.
+    ``brute_force=True`` compares all pairs (oracle/test scale only).
+    The default is **banded sign-LSH**: b bands × r hyperplane sign
+    bits, band key = mix(band, bits), candidates from bucket explosion
+    (the same capped ``pairs_from_buckets`` machinery as the text
+    tiers — an equi-join shape end to end, no cartesian anywhere),
+    then one JVM-side cosine per candidate pair. Candidate probability
+    is 1−(1−p^r)^b with p = 1−θ/π; at cosine 0.95 the default 16×16
+    catches a pair with P ≈ 0.96 (24 bands → 0.99).
     """
     base = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
     if brute_force:
         a = base.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
         b = base.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:
-        dim = len(emb.select(vec_col).first()[0])
-        planes = hyperplanes(dim, n_planes, seed)
-        bucketed = base.withColumn("bucket", sign_bucket(F.col("vec"), planes))
-        a = bucketed.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"),
-                            F.col("bucket").alias("bucket_a"))
-        b = bucketed.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"),
-                            F.col("bucket").alias("bucket_b"))
-        pairs = a.join(b, F.col("id_a") < F.col("id_b")).filter(
-            F.bit_count(F.col("bucket_a").bitwiseXOR(F.col("bucket_b")))
-            <= probe_hamming
+        return (
+            pairs.withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
         )
+    from doppel_spark.operators.lsh import pairs_from_buckets
+
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, bands * rows_per_band, seed)
+    keys = sign_band_keys_udf(planes, bands, rows_per_band)
+    exploded = base.select("id", F.explode(keys(F.col("vec"))).alias("band_key"))
+    cand = pairs_from_buckets(exploded, ["band_key"], id_col="id",
+                              bucket_cap=bucket_cap)
+    participants = (
+        cand.select(F.col("url_a").alias("id"))
+        .union(cand.select(F.col("url_b").alias("id"))).distinct()
+    )
+    needed = base.join(participants, "id", "left_semi")
+    a = needed.select(F.col("id").alias("url_a"), F.col("vec").alias("vec_a"))
+    b = needed.select(F.col("id").alias("url_b"), F.col("vec").alias("vec_b"))
     return (
-        pairs.withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
+        cand.join(a, "url_a").join(b, "url_b")
+        .withColumn("sim", cosine(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+        .select(F.col("url_a").alias("id_a"), F.col("url_b").alias("id_b"),
+                F.round("sim", 6).alias("sim"))
     )

@@ -68,6 +68,39 @@ def test_embedding_neardup_planted(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     bf = embedding_neardup_pairs(emb, threshold=0.95, brute_force=True).collect()
     assert {(r["id_a"], r["id_b"]) for r in bf} == {(3, 100)}
-    lsh = embedding_neardup_pairs(emb, threshold=0.95, n_planes=12,
-                                  probe_hamming=2).collect()
+    lsh = embedding_neardup_pairs(emb, threshold=0.95).collect()
     assert {(r["id_a"], r["id_b"]) for r in lsh} == {(3, 100)}
+
+
+def test_embedding_neardup_banded_recall_and_plan(spark):
+    # 60 planted near-dup pairs; banded sign-LSH must recover >= 0.95 of
+    # what brute force finds, with NO cartesian/nested-loop join in plan
+    from doppel_spark.plans.inspect import physical_plan
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((60, 32))
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    rows += [(1000 + i, (base[i] + rng.standard_normal(32) * 0.02).tolist())
+             for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    bf = {(r["id_a"], r["id_b"])
+          for r in embedding_neardup_pairs(emb, 0.95, brute_force=True).collect()}
+    lsh_df = embedding_neardup_pairs(emb, 0.95, bands=24, rows_per_band=16)
+    lsh = {(r["id_a"], r["id_b"]) for r in lsh_df.collect()}
+    assert len(bf) >= 50
+    assert len(lsh & bf) / len(bf) >= 0.95
+    assert lsh - bf == set()  # cosine verify ⇒ no false positives
+    plan = physical_plan(lsh_df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_ann_topk_probe_join_plan(spark):
+    from doppel_spark.plans.inspect import physical_plan
+
+    emb = spark.read.parquet(EMB)
+    df = lsh_ann_topk(emb, [0, 1], k=5, n_planes=8, probe_hamming=2)
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
