@@ -128,8 +128,19 @@ def substring_dup_pairs(
     floor may be missed by design.
     """
     pairs = fingerprint_candidates(docs, id_col, text_col, k, window, bucket_cap)
-    a = docs.select(F.col(id_col).alias("url_a"), F.col(text_col).alias("text_a"))
-    b = docs.select(F.col(id_col).alias("url_b"), F.col(text_col).alias("text_b"))
+    # prune the text table to pair participants FIRST (cheap id
+    # semi-join), so the two text joins below shuffle only texts that
+    # actually appear in a candidate pair — at web scale candidates are
+    # a sliver of the corpus and the full text column must never move
+    participants = (
+        pairs.select(F.col("url_a").alias(id_col))
+        .union(pairs.select(F.col("url_b").alias(id_col)))
+        .distinct()
+    )
+    needed = docs.select(F.col(id_col), F.col(text_col)) \
+        .join(participants, id_col, "left_semi")
+    a = needed.select(F.col(id_col).alias("url_a"), F.col(text_col).alias("text_a"))
+    b = needed.select(F.col(id_col).alias("url_b"), F.col(text_col).alias("text_b"))
     lcs = lcs_len_udf()
     return (
         pairs.join(a, "url_a").join(b, "url_b")

@@ -40,6 +40,26 @@ class DuplicateReport:
             indent=2,
         )
 
+    def to_yaml(self) -> str:
+        """YAML form ≈ yaml_formatter.go:19-26. The report is a flat
+        scalar mapping plus one nested stats block, so it is emitted
+        directly — no YAML library dependency for a document this
+        shape (strings here are timestamps/identifiers, never
+        YAML-special)."""
+
+        def _scalar(v) -> str:
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            if isinstance(v, (int, float)):
+                return str(v)
+            return f"'{v}'" if v is not None else "null"
+
+        lines = [f"scan_date: {_scalar(self.scan_date)}", "stats:"]
+        lines += [f"  {k}: {_scalar(v)}" for k, v in self.stats.items()]
+        lines.append(f"total_wasted_space: {self.total_wasted_space}")
+        lines.append(f"duplicate_groups: {self.n_groups}")
+        return "\n".join(lines) + "\n"
+
     def pretty(self) -> str:
         """Human summary ≈ pretty_formatter.go:24-149 (incl. the docs/sec
         processing-rate line, pretty_formatter.go:141-146)."""
@@ -57,6 +77,26 @@ class DuplicateReport:
             rate = s["processed_docs"] / s["duration_s"]
             lines.append(f"  processing rate:  {rate:.1f} docs/sec")
         return "\n".join(lines)
+
+
+#: formatter registry ≈ InitFormatters + name dispatch
+#: (/root/reference/internal/output/formatter.go:27-94); same three
+#: registered formats as the reference (json/pretty/yaml)
+FORMATTERS: dict[str, str] = {"json": "to_json", "pretty": "pretty",
+                              "yaml": "to_yaml"}
+
+
+def render(report: DuplicateReport, output_format: str = "json") -> str:
+    """Dispatch a report through the named formatter
+    (≈ FormatterRegistry.Format, formatter.go:71-94; unknown format is
+    a build-time error like formatter.go:52-60)."""
+    try:
+        method = FORMATTERS[output_format]
+    except KeyError:
+        raise ValueError(
+            f"unknown output format {output_format!r}; have {sorted(FORMATTERS)}"
+        ) from None
+    return getattr(report, method)()
 
 
 def build_report(result: ExactDupResult, duration_s: float | None = None) -> DuplicateReport:

@@ -42,6 +42,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--langs", default=None, help="comma-separated allow-list")
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--simhash", action="store_true")
+    p.add_argument("--output-format", choices=["json", "pretty", "yaml"],
+                   default="json",
+                   help="stats report rendering (~ doppel's --output-format, "
+                        "/root/reference/internal/output/formatter.go:27-94)")
     return p.parse_args(argv)
 
 
@@ -50,7 +54,7 @@ def main(argv: list[str] | None = None) -> None:
     from doppel_spark.config import FilterConfig, NearDupConfig, get_preset, parse_size
     from doppel_spark.operators.exact import exact_dup_pipeline
     from doppel_spark.operators.neardup import near_dup_pipeline
-    from doppel_spark.report import build_report, write_tables
+    from doppel_spark.report import build_report, render, write_tables
     from doppel_spark.session import get_spark, ship_package
     from doppel_spark.sources import read_pages
 
@@ -88,6 +92,7 @@ def main(argv: list[str] | None = None) -> None:
     t0 = time.time()
     tables = {}
     report_stats = {}
+    report = None
     if args.mode in ("exact", "both"):
         if args.checkpoint:
             from doppel_spark.checkpoint import CheckpointStore, run_exact_dedup_checkpointed
@@ -129,6 +134,14 @@ def main(argv: list[str] | None = None) -> None:
     os.makedirs(args.output, exist_ok=True)
     with open(os.path.join(args.output, "report.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    if report is not None:
+        # route the stats report through the selected formatter and
+        # persist it next to the machine-readable summary
+        ext = {"json": "json", "pretty": "txt", "yaml": "yaml"}[args.output_format]
+        rendered = render(report, args.output_format)
+        with open(os.path.join(args.output, f"stats_report.{ext}"), "w") as f:
+            f.write(rendered)
+        print(rendered)
     print(json.dumps(summary))
 
 

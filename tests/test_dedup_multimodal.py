@@ -25,6 +25,25 @@ def test_exact_dedup_keep_min_id(spark, docs):
     assert kept == {"u://a/1", "u://b/1", "u://c/1"}
     # survivors keep their full row + digest column
     assert set(out.columns) == {"url", "text", "digest"}
+    # small-input window path: identical result
+    win = exact_dedup(docs, small_input=True)
+    assert {r["url"] for r in win.collect()} == kept
+
+
+def test_exact_dedup_scale_plan_no_text_shuffle(spark, docs):
+    # default path: digest shuffle carries only (id, digest) — the text
+    # column must not appear in any Exchange's partitioning input side;
+    # mechanically: the plan is a LeftSemi join, not a full-row Window
+    from doppel_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(exact_dedup(docs))
+    assert "LeftSemi" in plan
+    assert "Window" not in plan
+    # every Exchange in the aggregate branch is hashpartitioning on
+    # digest or url — never on a projection that carries text
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
 
 
 def test_dedup_assignments_and_stats(spark, docs):

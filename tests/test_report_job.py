@@ -48,3 +48,38 @@ def test_job_entrypoint_end_to_end(tmp_path):
     nstages = sorted(os.listdir(ckpt / "near"))
     assert nstages == ["n0_exact_reps", "n1_signatures", "n2_candidates",
                        "n3_verified", "n4_clusters"]
+
+
+def test_report_yaml_and_render_dispatch(spark, docs):
+    import pytest
+
+    from doppel_spark.report import render
+
+    res = exact_dup_pipeline(docs, size_col=None)
+    rep = build_report(res, duration_s=2.0)
+    # one run renders through every registered formatter
+    y = render(rep, "yaml")
+    assert "total_wasted_space:" in y and "stats:" in y
+    assert "  duplicate_groups: 2" in y
+    j = json.loads(render(rep, "json"))
+    assert j["duplicate_groups"] == 2
+    p = render(rep, "pretty")
+    assert "docs/sec" in p
+    with pytest.raises(ValueError, match="unknown output format"):
+        render(rep, "xml")
+
+
+def test_job_output_format_pretty(tmp_path):
+    out = tmp_path / "out"
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "neardup_job.py"),
+         "--synth-docs", "120", "--output", str(out), "--mode", "exact",
+         "--output-format", "pretty"],
+        capture_output=True, text=True, timeout=420, env=env, cwd="/tmp",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    rendered = (out / "stats_report.txt").read_text()
+    assert "Duplicate Detection Report" in rendered
+    assert "processing rate:" in rendered  # pretty_formatter.go:141-146 analog
+    assert "processing rate:" in r.stdout
