@@ -192,6 +192,105 @@ def _q_quick_digest_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_exact_dup_members_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship grouping path with REAL duplicate groups: the corpus
+    is unioned with a re-keyed copy of itself (doc_id + 10⁶, identical
+    text) inside the query, so every doc lands in a ≥2-member group and
+    the three-stage funnel's membership/size/wasted-space arithmetic is
+    value-checked non-vacuously (the raw fixtures contain no duplicate
+    texts). Semantics under test: finder.go:114-143 + finder_test.go:86-131.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    copy = docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                       "text", "n_chars")
+    both = docs.union(copy)
+    res = exact_dup_pipeline(both, id_col="doc_id", size_col="n_chars",
+                             sequential_ids=True)
+    return res.members().withColumnRenamed("url", "doc_id")
+
+
+def _q_quick_digest_buckets_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quick-digest collision buckets with planted 8–16 KiB
+    prefix-collision pairs: texts of length 9000 sharing the first 8192
+    chars but differing after — the piecewise contract of hasher.go:71-75
+    (only the first 8 KiB is hashed below 16384) makes each pair collide
+    on the quick digest while full digests differ. Value-checks the
+    subtle tier with rows > 0 (the raw fixtures produce 0 buckets)."""
+    from doppel_spark.functions.digests import quick_digest
+    from doppel_spark.operators.exact import length_candidates
+
+    docs = _docs(spark, sf_dir)
+    seeds = docs.filter(F.col("doc_id") < 20).select("doc_id")
+    prefix = F.concat(F.repeat(F.lit("x"), 8000),
+                      F.lpad(F.col("doc_id").cast("string"), 192, "0"))
+    mk = lambda tail, off: seeds.select(  # noqa: E731
+        (F.col("doc_id") * 2 + F.lit(off)).alias("doc_id"),
+        F.concat(prefix, F.lit(tail), F.repeat(F.lit("y"), 807)).alias("text"),
+    )
+    both = (
+        docs.select("doc_id", "text")
+        .union(mk("A", 2_000_000)).union(mk("B", 2_000_001))
+        .withColumn("n_chars", F.length("text"))
+    )
+    cand = length_candidates(both, size_col="n_chars", id_col="doc_id")
+    qc = cand.withColumn("quick_digest", quick_digest("text"))
+    return (
+        qc.groupBy("quick_digest")
+        .agg(F.count("*").alias("n_docs"), F.min("size").alias("size"))
+        .filter(F.col("n_docs") > 1)
+        .select("size", "n_docs")
+    )
+
+
+def _q_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join surface under oracle: fact⋈dim broadcast join + aggregation
+    (customer is the small side; per-row floor-to-centis keeps the money
+    sum integer-exact and order-independent on both engines)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+             .alias("price_centis"))
+    )
+
+
+def _q_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-way dimension join (customer⋈nation⋈region), both dims broadcast."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.count("*").alias("n_customers"),
+             F.sum(F.floor(F.col("c_acctbal") * 100).cast("long"))
+             .alias("acctbal_centis"))
+    )
+
+
+def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan+filter+agg over the widest fact table;
+    every money aggregate is per-row floored to integer centis first."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_quantity") > 10)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("qty_centis"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .alias("price_centis"),
+            F.sum(F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                  .cast("long")).alias("disc_price_centis"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def _q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir).groupBy("lang")
@@ -271,9 +370,45 @@ def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         n_planes=8, probe_hamming=3)
 
 
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cell-probed IVF search; approximate by design → rows-only
+    from doppel_spark.operators.similarity import ivf_ann_topk
+
+    return ivf_ann_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K,
+                        n_centroids=8, n_probe=3)
+
+
+def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the banded sign-LSH scale path of embedding_neardup_pairs (the
+    # brute path is oracle-checked as emb_neardup); recall < 1 by
+    # design → rows-only. Loose bands so random-corpus pairs survive.
+    return embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD,
+        bands=24, rows_per_band=4,
+    ).select("id_a", "id_b")
+
+
+def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pigeonhole guarantee under test: a planted 1-token-edited copy of
+    # each first-20 doc must pair with its original (Hamming ≤ t after a
+    # single token flip); hash-function-defined → rows-only
+    ship_package(spark)
+    from doppel_spark.functions.simhash import simhash_near_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    edited = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zyxq")).alias("text"),
+    )
+    both = docs.union(edited).withColumn("url", F.col("doc_id").cast("string"))
+    fps = both.select("url", simhash_udf()(F.col("text")).alias("simhash"))
+    return simhash_near_pairs(fps, id_col="url", hamming_t=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_members": _q_exact_dup_members,
+        "exact_dup_members_planted": _q_exact_dup_members_planted,
         "exact_dup_report": _q_exact_dup_report,
         "length_buckets": _q_length_buckets,
         "filter_preset_docs": _q_filter_preset_docs,
@@ -283,6 +418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality_scores,
         "quick_digest_buckets": _q_quick_digest_buckets,
+        "quick_digest_buckets_planted": _q_quick_digest_buckets_planted,
+        "orders_by_segment": _q_orders_by_segment,
+        "customers_per_region": _q_customers_per_region,
+        "lineitem_pricing": _q_lineitem_pricing,
         "lang_stats": _q_lang_stats,
         "lang_stats_salted": _q_lang_stats_salted,
         "longest_docs_per_lang": _q_longest_docs_per_lang,
@@ -295,6 +434,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_pairs": _q_substring_pairs,
         "doc_fingerprints": _q_doc_fingerprints,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
+        "emb_neardup_lsh": _q_emb_neardup_lsh,
+        "simhash_near_pairs": _q_simhash_near_pairs,
     }
 
 
@@ -388,6 +530,78 @@ def oracle_sql() -> dict[str, str]:
                      AS duplicate_docs,
                    CAST(coalesce((SELECT sum(size * (n - 1)) FROM grp), 0) AS BIGINT)
                      AS total_wasted_space
+        """,
+        "exact_dup_members_planted": """
+            WITH unioned AS (
+              SELECT doc_id, text, n_chars FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text, n_chars FROM documents
+            ), g AS (
+              SELECT sha256(text) AS digest, CAST(count(*) AS BIGINT) AS n_docs,
+                     min(n_chars) AS size
+              FROM unioned GROUP BY 1 HAVING count(*) > 1
+            ), gid AS (
+              SELECT row_number() OVER (ORDER BY digest) AS group_id, digest,
+                     n_docs, size,
+                     CAST(size * (n_docs - 1) AS BIGINT) AS wasted_space
+              FROM g
+            )
+            SELECT gid.group_id, gid.digest, gid.n_docs, gid.size,
+                   gid.wasted_space, d.doc_id
+            FROM gid JOIN unioned d ON sha256(d.text) = gid.digest
+        """,
+        "quick_digest_buckets_planted": f"""
+            WITH seeds AS (SELECT doc_id FROM documents WHERE doc_id < 20),
+            planted AS (
+              SELECT doc_id * 2 + 2000000 AS doc_id,
+                     repeat('x', 8000) || lpad(CAST(doc_id AS VARCHAR), 192, '0')
+                       || 'A' || repeat('y', 807) AS text
+              FROM seeds
+              UNION ALL
+              SELECT doc_id * 2 + 2000001,
+                     repeat('x', 8000) || lpad(CAST(doc_id AS VARCHAR), 192, '0')
+                       || 'B' || repeat('y', 807)
+              FROM seeds
+            ), unioned AS (
+              SELECT doc_id, text, length(text) AS n_chars FROM (
+                SELECT doc_id, text FROM documents
+                UNION ALL SELECT doc_id, text FROM planted
+              )
+            ), cand AS (
+              SELECT * FROM unioned WHERE n_chars IN (
+                SELECT n_chars FROM unioned GROUP BY 1 HAVING count(*) > 1)
+            )
+            SELECT min(n_chars) AS size, CAST(count(*) AS BIGINT) AS n_docs
+            FROM cand GROUP BY ({QUICK_SAMPLE_SQL}) HAVING count(*) > 1
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS price_centis
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        """,
+        "customers_per_region": """
+            SELECT r_name AS region, CAST(count(*) AS BIGINT) AS n_customers,
+                   CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                     AS acctbal_centis
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                     AS qty_centis,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                     AS price_centis,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS disc_price_centis,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem WHERE l_quantity > 10
+            GROUP BY 1, 2
         """,
         "length_buckets": """
             SELECT n_chars AS size, CAST(count(*) AS BIGINT) AS n_docs
@@ -493,7 +707,8 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS payload_digest
             FROM documents
         """,
-        # minhash_lsh_clusters / simhash_fingerprints / substring_pairs /
-        # doc_fingerprints / ann_topk_lsh: hash-function-defined or
-        # approximate-by-design → rows-only checks.
+        # minhash_lsh_clusters / simhash_fingerprints / simhash_near_pairs /
+        # substring_pairs / doc_fingerprints / ann_topk_lsh / ann_topk_ivf /
+        # emb_neardup_lsh: hash-function-defined or approximate-by-design
+        # → rows-only checks.
     }
