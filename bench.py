@@ -30,14 +30,19 @@ from doppel_spark.session import get_spark  # noqa: E402
 #: are covered by the correctness gate and share these code paths.
 HEADLINE = [
     "exact_dup_members",
+    "exact_dup_members_planted",
     "exact_dup_report",
     "dedup_keep_first",
     "token_stats",
     "quality_scores",
     "lang_id",
     "ann_topk",
+    "orders_by_segment",
+    "lineitem_pricing",
     "minhash_lsh_clusters",
     "simhash_fingerprints",
+    "simhash_near_pairs",
+    "emb_neardup_lsh",
     "doc_fingerprints",
     "substring_pairs",
 ]

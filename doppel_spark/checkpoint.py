@@ -193,7 +193,7 @@ def run_neardup_checkpointed(
     sigs = store.run(
         "n1_signatures",
         lambda: with_signature(reps, cfg, text_col=text_col)
-        .select(id_col, "signature"),
+        .select(id_col, "signature", "band_hashes"),
     )
     cand = store.run("n2_candidates", lambda: candidate_pairs(sigs, cfg, id_col=id_col))
     verified = store.run(

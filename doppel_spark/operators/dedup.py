@@ -97,7 +97,8 @@ def ngram_jaccard_dedup(
     """
     cfg = cfg or NearDupConfig()
     sigs = with_signature(df.select(F.col(id_col), F.col(text_col)), cfg,
-                          text_col=text_col).select(id_col, "signature")
+                          text_col=text_col).select(id_col, "signature",
+                                                    "band_hashes")
     cand = candidate_pairs(sigs, cfg, id_col=id_col)
     verified = verify_pairs_exact(cand, df, cfg, id_col=id_col, text_col=text_col) \
         .filter(F.col("jaccard") >= cfg.jaccard_threshold)

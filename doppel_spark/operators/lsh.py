@@ -34,33 +34,39 @@ from pyspark.sql import functions as F
 from doppel_spark.config import NearDupConfig
 from doppel_spark.functions.minhash import (
     exact_jaccard_udf,
-    minhash_signature_udf,
+    minhash_sig_bands_udf,
     signature_agreement,
 )
 
 
 def with_signature(df: DataFrame, cfg: NearDupConfig, text_col: str = "text") -> DataFrame:
-    """Add ``signature: array<long>`` (MinHash over k-word shingles)."""
-    mh = minhash_signature_udf(cfg.num_perm, cfg.shingle_k, cfg.seed)
-    return df.withColumn("signature", mh(F.col(text_col)))
+    """Add ``signature: array<long>`` + ``band_hashes: array<long>``.
+
+    Both come from ONE shingle pass (struct-returning pandas UDF); the
+    precomputed band hashes make downstream banding a plain codegen'd
+    ``explode`` — the Catalyst HOF alternative (transform+slice+xxhash64
+    per band) is interpreted and regresses ~2× under 32 executor
+    threads (see minhash.band_hashes docstring)."""
+    mh = minhash_sig_bands_udf(cfg.num_perm, cfg.shingle_k, cfg.seed, cfg.bands)
+    tmp = df.withColumn("_sb", mh(F.col(text_col)))
+    return (
+        tmp.withColumn("signature", F.col("_sb.signature"))
+        .withColumn("band_hashes", F.col("_sb.bands"))
+        .drop("_sb")
+    )
 
 
 def band_keys(sig_df: DataFrame, cfg: NearDupConfig, id_col: str = "url") -> DataFrame:
-    """Explode each signature into band-hash bucket keys.
+    """Explode per-doc band hashes into (id, band_hash) bucket keys.
 
-    band_hash = xxhash64(band index, band's signature slice) — the band
-    index is folded INTO the hash instead of traveling as a column, so
-    the exploded output is exactly (id, band_hash): 32 rows × 16 bytes
-    per doc through the shuffle and nothing else. A cross-band hash
-    collision merely merges two buckets — extra candidates that
-    verification discards — so no correctness rides on the fold.
+    The band index is folded INTO each hash (band_hashes is salted per
+    band inside the UDF), so the exploded output is exactly
+    (id, band_hash): 32 rows × 16 bytes per doc through the shuffle and
+    nothing else. A cross-band hash collision merely merges two buckets
+    — extra candidates that verification discards — so no correctness
+    rides on the fold.
     """
-    r = cfg.rows_per_band
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(cfg.bands - 1)),
-        lambda b: F.xxhash64(b, F.slice(F.col("signature"), b * r + 1, r)),
-    )
-    return sig_df.select(F.col(id_col), F.explode(bands).alias("band_hash"))
+    return sig_df.select(F.col(id_col), F.explode("band_hashes").alias("band_hash"))
 
 
 def pairs_from_buckets(
@@ -82,10 +88,15 @@ def pairs_from_buckets(
     collect-then-cap plan; that is the price of bounded memory at scale.
     """
     slim = exploded.select(*key_cols, id_col)
-    # tiny aggregate: distinct-member count + survivor per bucket
+    # tiny aggregate: member count + survivor per bucket. Plain count(*)
+    # (no countDistinct Expand): callers emit distinct (key, id) rows by
+    # construction; if a duplicate slips in it only inflates m, which
+    # can at worst flip a boundary bucket to the (still-correct,
+    # still-bounded) star fallback — never wrong pairs, never an
+    # unbounded array.
     stats = (
         slim.groupBy(*key_cols)
-        .agg(F.countDistinct(id_col).alias("m"), F.min(id_col).alias("min_id"))
+        .agg(F.count("*").alias("m"), F.min(id_col).alias("min_id"))
         .filter(F.col("m") > 1)
     )
     keyed = slim.join(stats, key_cols)

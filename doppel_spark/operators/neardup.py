@@ -100,11 +100,19 @@ def near_dup_pipeline(
     # (expected spurious pairs ≈ n²/2⁶⁴ — a handful even at 10¹² docs);
     # true-pair loss requires both members to collide, ~2⁻⁶⁴ per pair.
     sigs = with_signature(reps, cfg, text_col=text_col) \
-        .select(id_col, F.xxhash64(id_col).alias("rid"), "signature") \
+        .select(id_col, F.xxhash64(id_col).alias("rid"),
+                "signature", "band_hashes") \
         .persist(StorageLevel.MEMORY_AND_DISK)
 
-    cand_rid = candidate_pairs(sigs.select(F.col("rid"), "signature"),
-                               cfg, id_col="rid")
+    # Persist the candidate stage too: verification evaluates it three
+    # times (two participant-list branches + the pair join) and the CC
+    # edge union twice more — recomputing the banding shuffle per
+    # evaluation multiplies the most expensive shuffle in the job.
+    # (The checkpointed runner materializes this stage as a table for
+    # the same reason; persist is the in-session equivalent.)
+    cand_rid = candidate_pairs(sigs.select(F.col("rid"), "band_hashes"),
+                               cfg, id_col="rid") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     verified_rid = verify_pairs(cand_rid, sigs.select("rid", "signature"),
                                 cfg, id_col="rid")
     # map rids back to urls (pairs are small; AQE broadcasts them)
@@ -123,6 +131,11 @@ def near_dup_pipeline(
     pairs = verified.union(
         exact_edges.withColumn("jaccard_est", F.lit(1.0))
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize ONCE before connected components: the CC edge
+    # symmetrization references `pairs` twice in a single job, and two
+    # concurrent cache-miss branches would each recompute the full
+    # verify + exact-edge lineage (incl. the sha256 corpus scan)
+    pairs.count()
 
     edges = pairs.select("url_a", "url_b")
     if use_simhash:
@@ -133,7 +146,7 @@ def near_dup_pipeline(
 
     comps = connected_components(edges)
     stats = lsh_bucket_stats(
-        band_keys(sigs.select(F.col("rid"), "signature"), cfg, id_col="rid"),
+        band_keys(sigs.select(F.col("rid"), "band_hashes"), cfg, id_col="rid"),
         ["band_hash"], bucket_cap=cfg.bucket_cap)
     return NearDupResult(signatures=sigs, pairs=pairs,
                          clusters=comps, bucket_stats=stats)

@@ -74,6 +74,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # DataFrame persist() compresses cached batches by default; the
+        # compression encoders contend under many executor threads
+        # (measured: the flagship at local[32] went 93s → 51s on a 300k
+        # corpus with compression off, while local[8] was unaffected).
+        # Our caches hold short-lived hot intermediates (signatures,
+        # candidate pairs) — trading RAM for encoder CPU is the wrong
+        # deal for them at any scale.
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     )
     # Shuffle local dir: plain disk by default. (Measured: tmpfs shuffle
     # is ~2× slower here — it competes with the UDFs for memory

@@ -73,4 +73,6 @@ def test_every_query_has_oracle_or_reason():
     rows_only = qs - oracles
     # only hash-function-defined / approximate ops may omit the oracle
     assert rows_only <= {"minhash_lsh_clusters", "simhash_fingerprints",
-                         "substring_pairs", "doc_fingerprints", "ann_topk_lsh"}
+                         "simhash_near_pairs", "substring_pairs",
+                         "doc_fingerprints", "ann_topk_lsh", "ann_topk_ivf",
+                         "emb_neardup_lsh"}

@@ -153,7 +153,7 @@ def test_hot_bucket_cap_engages_and_is_reported(spark):
     pages = synth_pages(spark, n).filter(F.col("url").contains("/hot/")).cache()
     n_hot = pages.count()
     assert n_hot > 16
-    sigs = with_signature(pages, cfg).select("url", "signature")
+    sigs = with_signature(pages, cfg).select("url", "signature", "band_hashes")
     stats = lsh_bucket_stats(band_keys(sigs, cfg), ["band_hash"],
                              bucket_cap=cfg.bucket_cap).collect()[0]
     assert stats["capped_buckets"] > 0
