@@ -380,11 +380,23 @@ def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the banded sign-LSH scale path of embedding_neardup_pairs (the
-    # brute path is oracle-checked as emb_neardup); recall < 1 by
-    # design → rows-only. Loose bands so random-corpus pairs survive.
+    # brute path is oracle-checked as emb_neardup). The raw corpus is
+    # random — true near-dups are planted IN the query: a perturbed
+    # copy of each first-50 vector (cosine ≈ 0.9996 to its original)
+    # must come back through the tight default banding. Loosening the
+    # bands instead would make most random pairs candidates — a
+    # near-cartesian that defeats the point of the scale path.
+    # Probabilistic recall (hash-function-defined) → rows-only.
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + F.lit(5_000_000)).alias("vec_id"),
+        F.zip_with(
+            "embedding", F.reverse("embedding"),
+            lambda x, y: (x + F.lit(0.03) * y).cast("float"),
+        ).alias("embedding"),
+    )
     return embedding_neardup_pairs(
-        _emb(spark, sf_dir), threshold=EMB_NEARDUP_THRESHOLD,
-        bands=24, rows_per_band=4,
+        emb.union(planted), threshold=0.95,
     ).select("id_a", "id_b")
 
 

@@ -77,7 +77,14 @@ def near_dup_pipeline(
     # The digest groupBy ships only (id, digest) — the text never
     # shuffles; representatives are fetched back with a semi-join whose
     # build side (the rep-id list) AQE broadcasts.
-    digests = base.select(F.col(id_col), full_digest(text_col))
+    # (id, digest) is consumed by three branches (rep_ids groupBy, the
+    # exact-edge join, and — via the semi-join — the representatives
+    # scan), two of which run as concurrent broadcast jobs: without a
+    # persist each re-scans the corpus and re-hashes every text. The
+    # cached projection is ~40 B/row; at cluster scale the checkpointed
+    # runner materializes this stage as a table instead (same idea).
+    digests = base.select(F.col(id_col), full_digest(text_col)) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     rep_ids = digests.groupBy("digest").agg(F.min(id_col).alias(id_col))
     exact_edges = (
         digests.join(rep_ids.withColumnRenamed(id_col, "rep"), "digest")
@@ -103,6 +110,13 @@ def near_dup_pipeline(
         .select(id_col, F.xxhash64(id_col).alias("rid"),
                 "signature", "band_hashes") \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    # materialize the cache NOW: downstream, the verification join and
+    # the rid→url mapping spawn several broadcast-exchange jobs that run
+    # CONCURRENTLY — on a cache miss each of them races to recompute the
+    # whole shingle+MinHash UDF scan (measured: 2× a 23 s stage + 4× a
+    # 10 s digest scan on a cold 20k-doc run). One eager count serializes
+    # the fill; every later consumer reads the cache.
+    sigs.count()
 
     # Persist the candidate stage too: verification evaluates it three
     # times (two participant-list branches + the pair join) and the CC
@@ -113,6 +127,7 @@ def near_dup_pipeline(
     cand_rid = candidate_pairs(sigs.select(F.col("rid"), "band_hashes"),
                                cfg, id_col="rid") \
         .persist(StorageLevel.MEMORY_AND_DISK)
+    cand_rid.count()  # same race: fill before concurrent consumers
     verified_rid = verify_pairs(cand_rid, sigs.select("rid", "signature"),
                                 cfg, id_col="rid")
     # map rids back to urls (pairs are small; AQE broadcasts them)
@@ -136,6 +151,9 @@ def near_dup_pipeline(
     # concurrent cache-miss branches would each recompute the full
     # verify + exact-edge lineage (incl. the sha256 corpus scan)
     pairs.count()
+    # everything downstream (CC, bucket stats) reads sigs/pairs caches;
+    # the digest projection has no remaining consumer
+    digests.unpersist()
 
     edges = pairs.select("url_a", "url_b")
     if use_simhash:

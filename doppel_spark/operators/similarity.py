@@ -325,8 +325,11 @@ def embedding_neardup_pairs(
     planes = hyperplanes(dim, bands * rows_per_band, seed)
     keys = sign_band_keys_udf(planes, bands, rows_per_band)
     exploded = base.select("id", F.explode(keys(F.col("vec"))).alias("band_key"))
+    # the candidate funnel feeds three consumers (both participant
+    # branches + the verify join); persist so the banding UDF and the
+    # bucket shuffles run once, not three times
     cand = pairs_from_buckets(exploded, ["band_key"], id_col="id",
-                              bucket_cap=bucket_cap)
+                              bucket_cap=bucket_cap).persist()
     participants = (
         cand.select(F.col("url_a").alias("id"))
         .union(cand.select(F.col("url_b").alias("id"))).distinct()
