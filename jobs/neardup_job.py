@@ -35,23 +35,42 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="generate a synthetic corpus of N docs instead of --input")
     p.add_argument("--output", required=True)
     p.add_argument("--checkpoint", default=None)
-    p.add_argument("--mode", choices=["exact", "near", "both"], default="both")
+    p.add_argument("--config-dir", default=None,
+                   help="directory with config.{yaml,toml,json}; merged as "
+                        "defaults < files < DOPPEL_SPARK_* env < CLI flags "
+                        "(~ doppel's provider chain, "
+                        "/root/reference/internal/config/loader.go:103-160)")
+    p.add_argument("--mode", choices=["exact", "near", "both"], default=None)
     p.add_argument("--preset", default=None, help="named filter preset")
     p.add_argument("--min-size", default=None, help="e.g. 1KB")
     p.add_argument("--max-size", default=None)
     p.add_argument("--langs", default=None, help="comma-separated allow-list")
-    p.add_argument("--threshold", type=float, default=0.8)
-    p.add_argument("--simhash", action="store_true")
+    p.add_argument("--threshold", type=float, default=None)
+    p.add_argument("--simhash", action="store_true", default=None)
     p.add_argument("--output-format", choices=["json", "pretty", "yaml"],
-                   default="json",
+                   default=None,
                    help="stats report rendering (~ doppel's --output-format, "
                         "/root/reference/internal/output/formatter.go:27-94)")
     return p.parse_args(argv)
 
 
+def _cli_layer(args: argparse.Namespace) -> dict[str, dict]:
+    """Sectioned overlay carrying ONLY the flags the user actually passed."""
+    filt = {k: v for k, v in {
+        "min_size": args.min_size, "max_size": args.max_size,
+        "langs": args.langs,
+    }.items() if v is not None}
+    near = {} if args.threshold is None else {"jaccard_threshold": args.threshold}
+    job = {k: v for k, v in {
+        "mode": args.mode, "preset": args.preset,
+        "output_format": args.output_format, "simhash": args.simhash,
+    }.items() if v is not None}
+    return {"filter": filt, "neardup": near, "job": job}
+
+
 def main(argv: list[str] | None = None) -> None:
     args = parse_args(argv)
-    from doppel_spark.config import FilterConfig, NearDupConfig, get_preset, parse_size
+    from doppel_spark.config_loader import load_job_config
     from doppel_spark.operators.exact import exact_dup_pipeline
     from doppel_spark.operators.neardup import near_dup_pipeline
     from doppel_spark.report import build_report, render, write_tables
@@ -73,17 +92,8 @@ def main(argv: list[str] | None = None) -> None:
         src = read_pages(spark, args.input)
         pages, errors = src.pages, src.errors
 
-    fc = get_preset(args.preset) if args.preset else FilterConfig()
-    if args.min_size or args.max_size or args.langs:
-        fc = FilterConfig(
-            exclude_url_globs=fc.exclude_url_globs,
-            exclude_url_regexes=fc.exclude_url_regexes,
-            exclude_source_globs=fc.exclude_source_globs,
-            exclude_source_regexes=fc.exclude_source_regexes,
-            min_size=parse_size(args.min_size) if args.min_size else fc.min_size,
-            max_size=parse_size(args.max_size) if args.max_size else fc.max_size,
-            langs=tuple(args.langs.split(",")) if args.langs else fc.langs,
-        )
+    cfg = load_job_config(config_dir=args.config_dir, cli=_cli_layer(args))
+    fc = cfg.filter
     from pyspark.sql import functions as F
 
     pages = pages.filter(fc.keep_predicate(size_col=F.length("text"),
@@ -93,7 +103,7 @@ def main(argv: list[str] | None = None) -> None:
     tables = {}
     report_stats = {}
     report = None
-    if args.mode in ("exact", "both"):
+    if cfg.mode in ("exact", "both"):
         if args.checkpoint:
             from doppel_spark.checkpoint import CheckpointStore, run_exact_dedup_checkpointed
             store = CheckpointStore(spark, os.path.join(args.checkpoint, "exact"),
@@ -105,8 +115,8 @@ def main(argv: list[str] | None = None) -> None:
             tables["groups"] = res.groups
             report = build_report(res, duration_s=time.time() - t0)
             report_stats = report.stats
-    if args.mode in ("near", "both"):
-        ncfg = NearDupConfig(jaccard_threshold=args.threshold)
+    if cfg.mode in ("near", "both"):
+        ncfg = cfg.neardup
         if args.checkpoint:
             from doppel_spark.checkpoint import CheckpointStore, run_neardup_checkpointed
             nstore = CheckpointStore(spark, os.path.join(args.checkpoint, "near"),
@@ -115,7 +125,7 @@ def main(argv: list[str] | None = None) -> None:
             tables["clusters"] = staged["clusters"]
             tables["pairs"] = staged["verified"]
         else:
-            ndr = near_dup_pipeline(pages, ncfg, use_simhash=args.simhash)
+            ndr = near_dup_pipeline(pages, ncfg, use_simhash=cfg.simhash)
             tables["clusters"] = ndr.clusters
             tables["pairs"] = ndr.pairs
             tables["bucket_stats"] = ndr.bucket_stats
@@ -126,7 +136,7 @@ def main(argv: list[str] | None = None) -> None:
     duration = time.time() - t0
     summary = {
         "duration_s": round(duration, 3),
-        "mode": args.mode,
+        "mode": cfg.mode,
         "tables": {k: f"{args.output}/{k}" for k in tables},
         "stats": {k: (int(v) if isinstance(v, int) else v)
                   for k, v in report_stats.items()},
@@ -137,8 +147,8 @@ def main(argv: list[str] | None = None) -> None:
     if report is not None:
         # route the stats report through the selected formatter and
         # persist it next to the machine-readable summary
-        ext = {"json": "json", "pretty": "txt", "yaml": "yaml"}[args.output_format]
-        rendered = render(report, args.output_format)
+        ext = {"json": "json", "pretty": "txt", "yaml": "yaml"}[cfg.output_format]
+        rendered = render(report, cfg.output_format)
         with open(os.path.join(args.output, f"stats_report.{ext}"), "w") as f:
             f.write(rendered)
         print(rendered)
