@@ -29,6 +29,7 @@ Scale decisions, explicitly:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 from doppel_spark.config import NearDupConfig
@@ -69,58 +70,76 @@ def band_keys(sig_df: DataFrame, cfg: NearDupConfig, id_col: str = "url") -> Dat
     return sig_df.select(F.col(id_col), F.explode("band_hashes").alias("band_hash"))
 
 
+def bucket_membership(
+    exploded: DataFrame, key_cols: list[str], id_col: str = "url",
+) -> DataFrame:
+    """Colliding-bucket membership: (key…, id, m, min_id), rows only for
+    buckets with ≥ 2 members.
+
+    ONE shuffle + ONE partition-window pass over the exploded band
+    keys; the m = 1 majority (most docs collide in no band) is dropped
+    before anything downstream touches the data, so the output is
+    typically ~10× smaller than the input.
+    """
+    slim = exploded.select(*key_cols, id_col)
+    w = Window.partitionBy(*key_cols)
+    return (
+        slim.withColumn("m", F.count("*").over(w))
+        .withColumn("min_id", F.min(id_col).over(w))
+        .filter(F.col("m") > 1)
+    )
+
+
+def pairs_from_membership(
+    memb: DataFrame, key_cols: list[str], id_col: str = "url",
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Distinct unordered candidate pairs from ``bucket_membership``.
+
+    Small buckets (≤ cap): all C(m,2) pairs via a codegen'd equi
+    self-join on the bucket key with an ``id_a < id_b`` filter.
+    Oversized buckets: star pairs around the minimum id (connectivity
+    for every member, recall inside the bucket delegated to the
+    cluster step). Output: (url_a, url_b) with url_a < url_b.
+
+    **No collected arrays anywhere.** An earlier shape aggregated each
+    bucket's ids with ``collect_set`` and exploded combination pairs
+    from the array; the ObjectHashAggregate behind ``collect_set``
+    allocates per-bucket JVM collections and was measured spending
+    478 s of a 558 s stage in GC at local[16] (300k docs). The
+    self-join streams pairs out of whole-stage codegen with no
+    per-bucket state at all, and the ``m ≤ cap`` filter bounds its
+    blow-up to C(cap, 2) per bucket. Callers should materialize
+    ``memb`` first (it has three consumers here).
+    """
+    small = memb.filter(F.col("m") <= bucket_cap)
+    a = small.select(*key_cols, F.col(id_col).alias("url_a"))
+    b = small.select(*key_cols, F.col(id_col).alias("url_b"))
+    combos = (
+        a.join(b, key_cols)
+        .where(F.col("url_a") < F.col("url_b"))
+        .select("url_a", "url_b")
+    )
+    stars = (
+        memb.filter((F.col("m") > bucket_cap) & (F.col(id_col) != F.col("min_id")))
+        .select(F.col("min_id").alias("url_a"), F.col(id_col).alias("url_b"))
+    )
+    return combos.union(stars).distinct()
+
+
 def pairs_from_buckets(
     exploded: DataFrame, key_cols: list[str], id_col: str = "url",
     bucket_cap: int = 256,
 ) -> DataFrame:
-    """Distinct unordered candidate pairs from bucket membership.
-
-    Small buckets (≤ cap): all C(m,2) pairs via Catalyst combination
-    explosion. Oversized buckets: star pairs around the minimum id.
-    Output: (url_a, url_b) with url_a < url_b.
-
-    **Nothing here ever materializes an unbounded array.** Bucket size
-    and min-id come from a slim pre-aggregate; ``collect_set`` runs only
-    on rows already proven to sit in a ≤ cap bucket, so a 10⁶-member
-    boilerplate bucket never builds a 10⁶-element array in one reducer —
-    its star pairs stream straight out of the (key, id, min_id) rows.
-    Costs one extra shuffle of 16-byte (key, id) rows vs the naive
-    collect-then-cap plan; that is the price of bounded memory at scale.
-    """
-    slim = exploded.select(*key_cols, id_col)
-    # tiny aggregate: member count + survivor per bucket. Plain count(*)
-    # (no countDistinct Expand): callers emit distinct (key, id) rows by
-    # construction; if a duplicate slips in it only inflates m, which
-    # can at worst flip a boundary bucket to the (still-correct,
-    # still-bounded) star fallback — never wrong pairs, never an
-    # unbounded array.
-    stats = (
-        slim.groupBy(*key_cols)
-        .agg(F.count("*").alias("m"), F.min(id_col).alias("min_id"))
-        .filter(F.col("m") > 1)
-    )
-    keyed = slim.join(stats, key_cols)
-    small = (
-        keyed.filter(F.col("m") <= bucket_cap)
-        .groupBy(*key_cols)
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))  # |ids| ≤ cap
-    )
-    all_pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("url_a"), y.alias("url_b")),
-            ),
-        )
-    )
-    small_pairs = small.select(F.explode(all_pairs).alias("p")) \
-        .select("p.url_a", "p.url_b")
-    star_pairs = (
-        keyed.filter((F.col("m") > bucket_cap) & (F.col(id_col) != F.col("min_id")))
-        .select(F.col("min_id").alias("url_a"), F.col(id_col).alias("url_b"))
-    )
-    return small_pairs.union(star_pairs).distinct()
+    """Distinct unordered candidate pairs straight from exploded band
+    keys — ``bucket_membership`` + ``pairs_from_membership`` composed,
+    for callers that don't materialize the membership stage (tests,
+    small corpora). Pipelines should cut a scratch table between the
+    two (see :func:`doppel_spark.operators.neardup.near_dup_pipeline`)
+    so the membership window isn't recomputed per consumer."""
+    return pairs_from_membership(
+        bucket_membership(exploded, key_cols, id_col=id_col),
+        key_cols, id_col=id_col, bucket_cap=bucket_cap)
 
 
 def lsh_bucket_stats(exploded: DataFrame, key_cols: list[str],

@@ -82,6 +82,15 @@ def get_spark(
         # candidate pairs) — trading RAM for encoder CPU is the wrong
         # deal for them at any scale.
         .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        # Throughput collector: G1's concurrent cycles interleave badly
+        # with the short latency-sensitive jobs of iterative stages on
+        # this host — connected components inside the flagship measured
+        # ~78 s at local[16] under G1 vs ~10 s under ParallelGC (same
+        # code, same corpus); batch analytics has no pause-time SLO, so
+        # the throughput collector is the right default here.
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                               "-XX:+UseParallelGC"))
     )
     # Shuffle local dir: plain disk by default. (Measured: tmpfs shuffle
     # is ~2× slower here — it competes with the UDFs for memory
