@@ -57,11 +57,22 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def perm_constants(num_perm: int, seed: int) -> np.ndarray:
-    """Deterministic per-permutation odd 64-bit multipliers."""
+    """Deterministic per-permutation odd 32-bit multipliers.
+
+    The permutation family runs in the 32-bit ring: an odd multiplier
+    is invertible mod 2³², so each constant is a pseudorandom
+    permutation of the 32-bit key space — the same construction as the
+    64-bit variant, at half the memory traffic through the multiply/min
+    kernel (the kernel is DRAM-bandwidth-bound under many workers, so
+    the width is the scaling knob). Cross-doc agreement gains a false-
+    match probability of 2⁻³² per position — invisible next to the
+    1/√num_perm estimator noise.
+    """
     with np.errstate(over="ignore"):
         c = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64)
                        + np.uint64(seed) * _GOLDEN)
-        return c | np.uint64(1)  # odd ⇒ invertible mod 2^64
+        return ((c >> np.uint64(32)).astype(np.uint32)
+                | np.uint32(1))  # odd ⇒ invertible mod 2^32
 
 
 #: rolling-polynomial weights for combining k token hashes into one
@@ -179,35 +190,40 @@ def band_hashes(sig_matrix: np.ndarray, bands: int, rows_per_band: int) -> np.nd
 
 def minhash_sig_bands_udf(num_perm: int = 128, k: int = 5, seed: int = 42,
                           bands: int = 32):
-    """pandas UDF: text → struct(signature array<long>, bands array<long>).
+    """pandas UDF: text → struct(signature array<int>, bands array<long>).
 
     One shingle pass computes BOTH the MinHash signature and its LSH
     band-bucket hashes; downstream banding is then a plain (codegen'd)
     ``explode`` of the bands column — no interpreted HOF in the hot path.
+
+    Signatures are 32-bit end to end (see :func:`perm_constants`):
+    half the bytes through the multiply/min kernel, the Arrow return
+    batches, the signature scratch table, and the verification joins —
+    all of which are memory-bandwidth-bound before they are CPU-bound.
     """
     consts = perm_constants(num_perm, seed)
     r = num_perm // bands
 
     @F.pandas_udf(T.StructType([
-        T.StructField("signature", T.ArrayType(T.LongType())),
+        T.StructField("signature", T.ArrayType(T.IntegerType())),
         T.StructField("bands", T.ArrayType(T.LongType())),
     ]))
     def sig_bands(texts: pd.Series) -> pd.DataFrame:
         n = len(texts)
-        sigs = np.empty((n, num_perm), dtype=np.int64)
-        sig = np.empty(num_perm, dtype=np.uint64)
-        buf = np.empty((_PERM_CHUNK, 4096), dtype=np.uint64)
+        sigs = np.empty((n, num_perm), dtype=np.int32)
+        sig = np.empty(num_perm, dtype=np.uint32)
+        buf = np.empty((_PERM_CHUNK, 4096), dtype=np.uint32)
         with np.errstate(over="ignore"):
             for row, t in enumerate(texts):
-                h = shingle_hashes(t, k)
+                h = (shingle_hashes(t, k) >> np.uint64(32)).astype(np.uint32)
                 m = h.size
                 if m > buf.shape[1]:
-                    buf = np.empty((_PERM_CHUNK, m), dtype=np.uint64)
+                    buf = np.empty((_PERM_CHUNK, m), dtype=np.uint32)
                 for i in range(0, num_perm, _PERM_CHUNK):
                     c = consts[i : i + _PERM_CHUNK]
                     np.multiply(c[:, None], h[None, :], out=buf[: len(c), :m])
                     sig[i : i + len(c)] = buf[: len(c), :m].min(axis=1)
-                sigs[row] = (sig >> np.uint64(1)).astype(np.int64)
+                sigs[row] = sig.astype(np.int32)
         bh = band_hashes(sigs, bands, r) if n else np.empty((0, bands), np.int64)
         return pd.DataFrame({"signature": list(sigs), "bands": list(bh)})
 
@@ -215,26 +231,27 @@ def minhash_sig_bands_udf(num_perm: int = 128, k: int = 5, seed: int = 42,
 
 
 def minhash_signature_udf(num_perm: int = 128, k: int = 5, seed: int = 42):
-    """pandas UDF: text → array<long> signature of length ``num_perm``."""
+    """pandas UDF: text → array<int> signature of length ``num_perm``
+    (32-bit permutation family, identical values to the combined
+    signature+bands UDF)."""
     consts = perm_constants(num_perm, seed)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def minhash(texts: pd.Series) -> pd.Series:
         out = []
-        sig = np.empty(num_perm, dtype=np.uint64)
-        buf = np.empty((_PERM_CHUNK, 4096), dtype=np.uint64)  # reused, L2-resident
+        sig = np.empty(num_perm, dtype=np.uint32)
+        buf = np.empty((_PERM_CHUNK, 4096), dtype=np.uint32)  # reused, L2-resident
         with np.errstate(over="ignore"):
             for t in texts:
-                h = shingle_hashes(t, k)  # (n_shingles,) uint64
+                h = (shingle_hashes(t, k) >> np.uint64(32)).astype(np.uint32)
                 m = h.size
                 if m > buf.shape[1]:
-                    buf = np.empty((_PERM_CHUNK, m), dtype=np.uint64)
+                    buf = np.empty((_PERM_CHUNK, m), dtype=np.uint32)
                 for i in range(0, num_perm, _PERM_CHUNK):
                     c = consts[i : i + _PERM_CHUNK]  # final chunk may be short
                     np.multiply(c[:, None], h[None, :], out=buf[: len(c), :m])
                     sig[i : i + len(c)] = buf[: len(c), :m].min(axis=1)
-                # mask to 63 bits so LongType stays non-negative
-                out.append((sig >> np.uint64(1)).astype(np.int64))
+                out.append(sig.astype(np.int32))
         return pd.Series(out)
 
     return minhash

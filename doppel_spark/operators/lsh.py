@@ -7,12 +7,13 @@ Pipeline (north-rule extension of the reference's staged funnel):
 
 Scale decisions, explicitly:
 
-* **Pair generation is a grouped explosion, not a self-join.** A
-  self-equi-join on (band_id, band_hash) makes Spark shuffle the full
-  signature table twice and still blows up O(n²) inside hot buckets.
-  We ``groupBy`` the band key once, ``collect_list`` only doc ids
-  (small), and explode combination pairs with a Catalyst ``transform``
-  — one shuffle of (key, id) pairs, no text or signature movement.
+* **Pair generation never moves signatures or builds per-bucket
+  state.** The exploded (key, id) band keys are windowed ONCE into a
+  colliding-bucket membership table (m = 1 rows dropped early), and
+  combination pairs stream out of a codegen'd equi self-join of that
+  slim table — no ``collect_set`` (its ObjectHashAggregate was a
+  measured GC bomb under many executor threads), no signature or text
+  movement, O(cap²) bounded blow-up per bucket.
 * **Hot buckets (boilerplate templates) are the skew hazard.** A
   bucket of m docs yields m(m−1)/2 pairs — one 10⁶-doc boilerplate
   bucket would emit 5·10¹¹ pairs. Buckets over ``bucket_cap`` switch
@@ -29,7 +30,6 @@ Scale decisions, explicitly:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 from doppel_spark.config import NearDupConfig
@@ -41,7 +41,7 @@ from doppel_spark.functions.minhash import (
 
 
 def with_signature(df: DataFrame, cfg: NearDupConfig, text_col: str = "text") -> DataFrame:
-    """Add ``signature: array<long>`` + ``band_hashes: array<long>``.
+    """Add ``signature: array<int>`` + ``band_hashes: array<long>``.
 
     Both come from ONE shingle pass (struct-returning pandas UDF); the
     precomputed band hashes make downstream banding a plain codegen'd
@@ -76,18 +76,25 @@ def bucket_membership(
     """Colliding-bucket membership: (key…, id, m, min_id), rows only for
     buckets with ≥ 2 members.
 
-    ONE shuffle + ONE partition-window pass over the exploded band
-    keys; the m = 1 majority (most docs collide in no band) is dropped
-    before anything downstream touches the data, so the output is
-    typically ~10× smaller than the input.
+    Plan: aggregate per-bucket (m, min_id) first — map-side partial
+    aggregation shrinks the shuffle from every exploded row to one row
+    per bucket per map partition — filter to m > 1 (the colliding
+    minority), and join the stats back onto the exploded rows. At
+    bench scale AQE turns that join into a broadcast (the colliding-
+    bucket stats are a few MB), so the exploded frame itself is NEVER
+    shuffled; at cluster scale, where the stats outgrow the broadcast
+    threshold, AQE falls back to a plain shuffled equi-join — still
+    one shuffle of 16-byte rows. A windowed variant (partition by key,
+    count/min over the window) always pays the full shuffle plus a
+    sort; this shape lets the optimizer skip both when the data allows.
     """
     slim = exploded.select(*key_cols, id_col)
-    w = Window.partitionBy(*key_cols)
-    return (
-        slim.withColumn("m", F.count("*").over(w))
-        .withColumn("min_id", F.min(id_col).over(w))
+    stats = (
+        slim.groupBy(*key_cols)
+        .agg(F.count("*").alias("m"), F.min(id_col).alias("min_id"))
         .filter(F.col("m") > 1)
     )
+    return slim.join(stats, key_cols)
 
 
 def pairs_from_membership(

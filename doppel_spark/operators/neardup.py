@@ -50,7 +50,7 @@ from doppel_spark.operators.lsh import (
 
 @dataclass
 class NearDupResult:
-    signatures: DataFrame   # (url, signature array<long>)
+    signatures: DataFrame   # (url, signature array<int>)
     pairs: DataFrame        # verified (url_a, url_b, jaccard_est)
     clusters: DataFrame     # (url, cluster_rep, cluster_id) — multi-doc clusters
     bucket_stats: DataFrame  # skew accounting (capped buckets, skipped pairs)
