@@ -165,16 +165,19 @@ def run_neardup_checkpointed(
 ) -> dict[str, DataFrame]:
     """The near-dup pipeline with a checkpoint after every stage.
 
-    Stage graph: signatures → candidate pairs → verified pairs →
-    clusters. A resumed run reads the last published stage instead of
-    recomputing the (expensive) MinHash UDF or pair shuffles — this is
-    the durable-table version of the in-memory persists inside
-    ``near_dup_pipeline``, and what a 10¹²-doc run would actually use.
+    Stage graph: signatures → bucket membership → candidate pairs →
+    verified pairs → clusters. A resumed run reads the last published
+    stage instead of recomputing the (expensive) MinHash UDF or pair
+    shuffles — this is the durable-table version of the scratch-table
+    materializations inside ``near_dup_pipeline`` (same cut points),
+    and what a 10¹²-doc run would actually use.
     """
     from doppel_spark.config import NearDupConfig
     from doppel_spark.functions.digests import full_digest
     from doppel_spark.operators.components import connected_components
-    from doppel_spark.operators.lsh import candidate_pairs, verify_pairs, with_signature
+    from doppel_spark.operators.lsh import (band_keys, bucket_membership,
+                                            pairs_from_membership, verify_pairs,
+                                            with_signature)
 
     cfg = cfg or NearDupConfig()
     base = pages.select(F.col(id_col), F.col(text_col))
@@ -195,15 +198,22 @@ def run_neardup_checkpointed(
         lambda: with_signature(reps, cfg, text_col=text_col)
         .select(id_col, "signature", "band_hashes"),
     )
-    cand = store.run("n2_candidates", lambda: candidate_pairs(sigs, cfg, id_col=id_col))
+    memb = store.run(
+        "n2_membership",
+        lambda: bucket_membership(band_keys(sigs, cfg, id_col=id_col),
+                                  ["band_hash"], id_col=id_col))
+    cand = store.run(
+        "n3_candidates",
+        lambda: pairs_from_membership(memb, ["band_hash"], id_col=id_col,
+                                      bucket_cap=cfg.bucket_cap))
     verified = store.run(
-        "n3_verified",
+        "n4_verified",
         lambda: verify_pairs(cand, sigs, cfg, id_col=id_col),
     )
     exact_edges = rep_map.filter(F.col(id_col) != F.col("rep")).select(
         F.col("rep").alias("url_a"), F.col(id_col).alias("url_b"))
     clusters = store.run(
-        "n4_clusters",
+        "n5_clusters",
         lambda: connected_components(
             verified.select("url_a", "url_b").union(exact_edges)),
     )

@@ -83,12 +83,20 @@ def _stream(_: int) -> int:
     return n
 
 
-def host_ratio(fn, lo: int, hi: int) -> float:
-    """Measured host throughput ratio between two process counts."""
+def host_ratio(fn, lo: int, hi: int, tries: int = 3) -> float:
+    """Measured host throughput ratio between two process counts.
+
+    Best-of-N per side — the co-tenant noise that motivates best-of-N
+    for the engine runs hits these probes too (one polluted probe once
+    reported 1.28× for a 1 → 4 DRAM-read ratio that repeatably
+    measures ~3.5×)."""
     totals = {}
     for procs in (lo, hi):
-        with Pool(procs) as p:
-            totals[procs] = sum(p.map(fn, range(procs)))
+        best = 0
+        for _ in range(tries):
+            with Pool(procs) as p:
+                best = max(best, sum(p.map(fn, range(procs))))
+        totals[procs] = best
     return totals[hi] / totals[lo]
 
 
@@ -110,6 +118,11 @@ def ensure_corpus(n_docs: int) -> str:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    resume = os.environ.get("SCALE_RESULTS_JSON")  # regenerate report only
+    if resume:
+        blob = json.loads(open(resume).read())
+        results = {int(k): v for k, v in blob["levels"].items()}
+        return finish(results, n_docs, repeats)
     corpus = ensure_corpus(n_docs)
 
     levels = sorted(set(PRIMARY + CONTEXT))
@@ -141,6 +154,11 @@ def main() -> None:
                 prev["all_secs"] = sorted(got["all_secs"])
             print(f"  local[{cpus}]: {got['sec']}s", flush=True)
 
+    return finish(results, n_docs, repeats)
+
+
+def finish(results: dict[int, dict], n_docs: int, repeats: int) -> None:
+    levels = sorted(results)
     lo, hi = PRIMARY
     r_lo, r_hi = results[lo], results[hi]
     eff_primary = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)

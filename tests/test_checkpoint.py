@@ -95,8 +95,8 @@ def test_neardup_checkpointed_resume(spark, tmp_path):
     c2 = {(r["url"], r["cluster_rep"]) for r in r2["clusters"].collect()}
     assert c1 == c2
     stages = [m["stage"] for m in store.metrics()]
-    assert stages == ["n0_exact_reps", "n1_signatures", "n2_candidates",
-                      "n3_verified", "n4_clusters"]
+    assert stages == ["n0_exact_reps", "n1_signatures", "n2_membership", "n3_candidates",
+                      "n4_verified", "n5_clusters"]
     # clusters match the non-checkpointed pipeline
     from doppel_spark.operators.neardup import near_dup_pipeline
     live = near_dup_pipeline(pages)

@@ -46,8 +46,8 @@ def test_job_entrypoint_end_to_end(tmp_path):
     stages = sorted(os.listdir(ckpt / "exact"))
     assert stages == ["s1_length_candidates", "s2_quick_candidates", "s3_dup_groups"]
     nstages = sorted(os.listdir(ckpt / "near"))
-    assert nstages == ["n0_exact_reps", "n1_signatures", "n2_candidates",
-                       "n3_verified", "n4_clusters"]
+    assert nstages == ["n0_exact_reps", "n1_signatures", "n2_membership", "n3_candidates",
+                       "n4_verified", "n5_clusters"]
 
 
 def test_report_yaml_and_render_dispatch(spark, docs):
