@@ -91,15 +91,22 @@ def simhash_near_pairs(
     O(n) pairs) — the same skew guard as the LSH tier.
     """
     from doppel_spark.operators.lsh import pairs_from_buckets  # shared shape
+    from doppel_spark.operators.stage import StageMaterializer
 
-    exploded = df.select(
+    # Cut the fingerprint table first: the caller's ``df`` usually
+    # carries the SimHash UDF in its lineage, and everything below
+    # (block-key explosion → bucket membership → verify joins) would
+    # otherwise re-run that UDF once per evaluation path.
+    mat = StageMaterializer.for_input(df, prefix="simhash")
+    fps = mat.cut(df.select(F.col(id_col), F.col(fp_col)), "fps")
+    exploded = fps.select(
         F.col(id_col), F.col(fp_col),
         F.explode(simhash_block_keys(F.col(fp_col), hamming_t)).alias("block_key"),
     )
     pairs = pairs_from_buckets(exploded, key_cols=["block_key"], id_col=id_col,
-                               bucket_cap=bucket_cap)
-    a = df.select(F.col(id_col).alias("url_a"), F.col(fp_col).alias("fp_a"))
-    b = df.select(F.col(id_col).alias("url_b"), F.col(fp_col).alias("fp_b"))
+                               bucket_cap=bucket_cap, mat=mat)
+    a = fps.select(F.col(id_col).alias("url_a"), F.col(fp_col).alias("fp_a"))
+    b = fps.select(F.col(id_col).alias("url_b"), F.col(fp_col).alias("fp_b"))
     return (
         pairs.join(a, "url_a").join(b, "url_b")
         .withColumn("hamming", hamming_distance(F.col("fp_a"), F.col("fp_b")))

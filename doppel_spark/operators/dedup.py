@@ -96,9 +96,17 @@ def ngram_jaccard_dedup(
     Returns (url, cluster_rep, cluster_id) covering all rows.
     """
     cfg = cfg or NearDupConfig()
-    sigs = with_signature(df.select(F.col(id_col), F.col(text_col)), cfg,
-                          text_col=text_col).select(id_col, "signature",
-                                                    "band_hashes")
+    from doppel_spark.operators.stage import StageMaterializer
+
+    mat = StageMaterializer.for_input(df.select(id_col, text_col),
+                                      prefix="ngramjac")
+    # cut below the MinHash UDF: bucket membership alone evaluates its
+    # input twice, and candidate_pairs' internal memb cut still needs a
+    # UDF-free subtree above it to be cheap
+    sigs = mat.cut(
+        with_signature(df.select(F.col(id_col), F.col(text_col)), cfg,
+                       text_col=text_col).select(id_col, "signature",
+                                                 "band_hashes"), "sigs")
     cand = candidate_pairs(sigs, cfg, id_col=id_col)
     verified = verify_pairs_exact(cand, df, cfg, id_col=id_col, text_col=text_col) \
         .filter(F.col("jaccard") >= cfg.jaccard_threshold)

@@ -136,17 +136,28 @@ def pairs_from_membership(
 
 def pairs_from_buckets(
     exploded: DataFrame, key_cols: list[str], id_col: str = "url",
-    bucket_cap: int = 256,
+    bucket_cap: int = 256, mat: "StageMaterializer | None" = None,
 ) -> DataFrame:
     """Distinct unordered candidate pairs straight from exploded band
-    keys — ``bucket_membership`` + ``pairs_from_membership`` composed,
-    for callers that don't materialize the membership stage (tests,
-    small corpora). Pipelines should cut a scratch table between the
-    two (see :func:`doppel_spark.operators.neardup.near_dup_pipeline`)
-    so the membership window isn't recomputed per consumer."""
+    keys — ``bucket_membership`` + ``pairs_from_membership`` with the
+    membership stage **materialized between them** (it feeds three
+    consumers inside pair generation; un-cut, the whole subtree above —
+    including any fingerprint/banding UDF — re-executes per consumer,
+    the round-2 bench's 2-6× recompute bug). Callers with a
+    pipeline-scoped :class:`~doppel_spark.operators.stage.
+    StageMaterializer` pass it as ``mat``; otherwise a size-aware
+    one-off cut is taken here. Note the subtree above ``exploded`` is
+    still evaluated twice while *building* the membership table
+    (bucket stats + join-back), so callers should cut their UDF stage
+    first — see ``substring_dup_pairs`` / ``simhash_near_pairs`` /
+    ``embedding_neardup_pairs``."""
+    from doppel_spark.operators.stage import StageMaterializer
+
+    if mat is None:
+        mat = StageMaterializer.for_input(exploded, prefix="lsh")
+    memb = mat.cut(bucket_membership(exploded, key_cols, id_col=id_col), "memb")
     return pairs_from_membership(
-        bucket_membership(exploded, key_cols, id_col=id_col),
-        key_cols, id_col=id_col, bucket_cap=bucket_cap)
+        memb, key_cols, id_col=id_col, bucket_cap=bucket_cap)
 
 
 def lsh_bucket_stats(exploded: DataFrame, key_cols: list[str],

@@ -23,13 +23,7 @@ assignments are identical to the naive pipeline.
 
 from __future__ import annotations
 
-import atexit
-import time
-import os
-import shutil
-import tempfile
-import uuid
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -46,6 +40,7 @@ from doppel_spark.operators.lsh import (
     verify_pairs,
     with_signature,
 )
+from doppel_spark.operators.stage import StageMaterializer
 
 
 @dataclass
@@ -54,6 +49,7 @@ class NearDupResult:
     pairs: DataFrame        # verified (url_a, url_b, jaccard_est)
     clusters: DataFrame     # (url, cluster_rep, cluster_id) — multi-doc clusters
     bucket_stats: DataFrame  # skew accounting (capped buckets, skipped pairs)
+    materializer: StageMaterializer | None = field(default=None, repr=False)
 
     def cluster_summary(self) -> DataFrame:
         """(cluster_id, n_docs, urls sorted) for multi-doc clusters."""
@@ -65,53 +61,11 @@ class NearDupResult:
         )
 
     def unpersist(self) -> None:
-        # materialized stages live in scratch parquet tables (see
-        # ``_materialize``), reclaimed at process exit; kept for API
-        # compatibility with cache-backed callers
-        self.signatures.unpersist()
-        self.pairs.unpersist()
-
-
-def _materialize(df: DataFrame, name: str) -> DataFrame:
-    """Materialize an intermediate consumed by several downstream branches
-    by spilling it to an uncompressed scratch parquet table and reading
-    it back.
-
-    Why a table and not ``persist()``/``localCheckpoint()`` — measured
-    on a 300k-doc corpus at local[8]:
-
-    * ``persist(MEMORY_AND_DISK)`` encodes into columnar cache batches;
-      that encoder is memory-bandwidth-hungry on wide array columns
-      (+22 s over raw compute for the signature stage) and *anti-scales*
-      with executor threads — it was cheaper at local[2] than local[8].
-    * ``localCheckpoint`` stores cheap raw rows (+5 s) BUT the resulting
-      ``LogicalRDD`` carries no size statistics, so the planner loses
-      every downstream auto-broadcast (the rep-id semi-join fell back to
-      a full-corpus sort-merge shuffle: 60 s → 157 s end to end).
-    * A scratch parquet table costs ~+10 s to write, and each consumer
-      re-reads it with accurate file statistics (broadcasts preserved),
-      column pruning (the slim rid→url consumer never touches the
-      1 KB signature column), and truncated lineage. Compression is
-      off: the data is transient and local, and codec CPU is exactly
-      the contended resource this path exists to avoid.
-
-    This is also the single-session mirror of the durable-table runner
-    (:mod:`doppel_spark.checkpoint`) used on a real cluster — the stage
-    cut points are identical; only table lifetime differs. Scratch
-    tables live under a per-session temp dir reclaimed at process exit.
-    """
-    spark = df.sparkSession
-    root = getattr(spark, "_doppel_spill_dir", None)
-    if root is None:
-        root = tempfile.mkdtemp(prefix="doppel_spill_")
-        spark._doppel_spill_dir = root
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-    path = os.path.join(root, f"{name}_{uuid.uuid4().hex[:8]}")
-    t0 = time.time()
-    df.write.option("compression", "none").parquet(path)
-    if os.environ.get("DOPPEL_STAGE_TIMING"):
-        print(f"STAGE {name} write_s={time.time() - t0:.2f}", flush=True)
-    return spark.read.parquet(path)
+        """Reclaim the run's materialized stages (caches + scratch
+        tables). Call only after the result frames are consumed —
+        ``signatures``/``pairs``/``clusters`` read from these stages."""
+        if self.materializer is not None:
+            self.materializer.cleanup()
 
 
 def near_dup_pipeline(
@@ -120,9 +74,21 @@ def near_dup_pipeline(
     id_col: str = "url",
     text_col: str = "text",
     use_simhash: bool = False,
+    small_input: bool | None = None,
 ) -> NearDupResult:
+    """Flagship near-dup clustering. ``small_input`` picks the stage
+    materialization strategy (None = auto from the input's size
+    estimate): small corpora persist the five cut stages — a scratch
+    table's fixed write/read-back cost (~10 s across the run) only pays
+    for itself at ≳300 k docs, where the same cuts took local[16] from
+    185 s to 44 s. See :class:`~doppel_spark.operators.stage.
+    StageMaterializer` for the measured tradeoffs; the cut points mirror
+    the durable checkpoint runner (:mod:`doppel_spark.checkpoint`)."""
     cfg = cfg or NearDupConfig()
     base = pages.select(F.col(id_col), F.col(text_col))
+    mat = StageMaterializer.for_input(base, prefix="neardup",
+                                      small_input=small_input)
+    _materialize = mat.cut  # stage cuts below; see class docstring
 
     # exact-dedup pre-pass: one representative (min id) per distinct text.
     # The digest groupBy ships only (id, digest) — the text never
@@ -214,4 +180,5 @@ def near_dup_pipeline(
         band_keys(sigs.select(F.col("rid"), "band_hashes"), cfg, id_col="rid"),
         ["band_hash"], bucket_cap=cfg.bucket_cap)
     return NearDupResult(signatures=sigs, pairs=pairs,
-                         clusters=comps, bucket_stats=stats)
+                         clusters=comps, bucket_stats=stats,
+                         materializer=mat)

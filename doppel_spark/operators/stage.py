@@ -1,0 +1,172 @@
+"""Shared multi-consumer stage materialization (pipeline cut points).
+
+Spark performs no common-subtree elimination: a DataFrame referenced by
+N downstream branches re-executes its entire lineage N times (once per
+evaluation path per action). For stages whose lineage contains a pandas
+UDF or a shuffle, that recompute multiplier dominates wall time — the
+round-2 bench measured 2-6× re-execution in every un-materialized
+``pairs_from_buckets`` caller. This module is the one place that knows
+how to cut a stage, with the strategy picked by input size and master:
+
+* **Scratch parquet table** (large inputs, local master): the write
+  costs ~seconds but each consumer re-reads with accurate file
+  statistics (AQE auto-broadcasts preserved), column pruning, and
+  truncated lineage. Measured on a 300k-doc corpus: persist's columnar
+  cache encoder was +22 s and *anti-scaled* with executor threads on
+  wide array columns; ``localCheckpoint`` was cheap but its
+  ``LogicalRDD`` has no size stats, so every downstream auto-broadcast
+  died (60 s → 157 s end to end). The scratch table avoids both.
+* **persist + forced count** (small inputs): the fixed cost of a table
+  write/read-back (~2 s per stage) only pays off when recompute is
+  expensive; below ``SMALL_INPUT_BYTES`` of pipeline input the cached
+  columnar batches are small enough that the encoder cost and the lost
+  size statistics don't matter. The ``count()`` forces full
+  materialization so concurrent downstream jobs (e.g. two broadcast
+  subtrees evaluated in parallel) can't race into double compute.
+* **Non-local master**: a driver-local scratch dir is invisible to
+  executors — writing there would fail or silently produce an empty
+  table. On a cluster the table mode therefore requires an
+  executor-visible location via the ``spark.doppel.scratchDir`` conf;
+  without one we fall back to persist (correct everywhere, merely
+  slower at scale — the durable path for real clusters is the
+  checkpointed runner in :mod:`doppel_spark.checkpoint`).
+
+Lifetime: scratch tables live under a per-session temp dir reclaimed at
+process exit; ``cleanup()`` reclaims a materializer's tables/caches
+early. In persist mode the caches stay referenced by the returned
+DataFrames, so ``cleanup()`` must only run after consumers finish.
+"""
+
+from __future__ import annotations
+
+import atexit
+import os
+import shutil
+import tempfile
+import time
+import uuid
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+#: pipeline inputs below this are "small": persist beats a table write.
+#: Chosen from the measured crossover — five table cuts cost ~10 s fixed
+#: at 20k docs (~40 MB input) and paid for themselves at ≳300k docs
+#: (~600 MB input: local[16] 185 s → 44 s).
+SMALL_INPUT_BYTES = 256 << 20
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for a plan, or None when unusable.
+
+    Parquet-scan-rooted plans report the real file bytes; plans behind a
+    Python UDF or a ``LogicalRDD`` report a propagated guess that can be
+    the "unknown" sentinel (Long.MaxValue-ish) — treat anything
+    implausibly large as unknown.
+    """
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+    if size < 0 or size > (1 << 50):  # > 1 PiB here means "don't know"
+        return None
+    return size
+
+
+class StageMaterializer:
+    """Cuts pipeline stages with one consistent, size-aware strategy.
+
+    Build one per pipeline run via :meth:`for_input` (pass the
+    pipeline's *input* DataFrame — typically parquet-rooted, so its
+    size estimate is trustworthy), then call :meth:`cut` at each
+    multi-consumer stage.
+    """
+
+    def __init__(self, spark: SparkSession, mode: str = "table",
+                 prefix: str = "stage") -> None:
+        assert mode in ("table", "persist")
+        master = spark.sparkContext.master or ""
+        self._scratch_root: str | None = None
+        if mode == "table" and not master.startswith("local"):
+            shared = spark.conf.get("spark.doppel.scratchDir", None)
+            if shared:
+                self._scratch_root = os.path.join(shared,
+                                                  f"{prefix}_{uuid.uuid4().hex[:8]}")
+            else:
+                warnings.warn(
+                    "StageMaterializer: non-local master without "
+                    "spark.doppel.scratchDir — a driver-local scratch dir is "
+                    "invisible to executors; falling back to persist",
+                    RuntimeWarning, stacklevel=2)
+                mode = "persist"
+        self.spark = spark
+        self.mode = mode
+        self.prefix = prefix
+        self.paths: list[str] = []
+        self.cached: list[DataFrame] = []
+
+    @classmethod
+    def for_input(cls, df: DataFrame, prefix: str = "stage",
+                  small_input: bool | None = None) -> "StageMaterializer":
+        """Pick the strategy from the pipeline input's size estimate.
+
+        ``small_input=None`` → auto: inputs under ``SMALL_INPUT_BYTES``
+        (or of unknown size — direct operator calls on ad-hoc frames,
+        which in practice are tests and small corpora) use persist;
+        larger inputs use scratch tables. Pipelines at real scale should
+        pass ``small_input=False`` (or read from parquet/Iceberg, whose
+        estimates are accurate).
+        """
+        if small_input is None:
+            size = plan_size_bytes(df)
+            small_input = size is None or size < SMALL_INPUT_BYTES
+        return cls(df.sparkSession, mode="persist" if small_input else "table",
+                   prefix=prefix)
+
+    def _table_root(self) -> str:
+        if self._scratch_root is None:
+            spark = self.spark
+            root = getattr(spark, "_doppel_spill_dir", None)
+            if root is None:
+                root = tempfile.mkdtemp(prefix="doppel_spill_")
+                spark._doppel_spill_dir = root
+                atexit.register(shutil.rmtree, root, ignore_errors=True)
+            self._scratch_root = root
+        return self._scratch_root
+
+    def cut(self, df: DataFrame, name: str) -> DataFrame:
+        """Materialize ``df`` and return a frame reading the result."""
+        t0 = time.time()
+        if self.mode == "persist":
+            out = df.persist(StorageLevel.MEMORY_AND_DISK)
+            out.count()  # force: concurrent consumers must not race
+            self.cached.append(out)
+        else:
+            path = os.path.join(self._table_root(),
+                                f"{self.prefix}_{name}_{uuid.uuid4().hex[:8]}")
+            # compression off: transient local data; codec CPU is the
+            # contended resource this path exists to avoid
+            df.write.option("compression", "none").parquet(path)
+            self.paths.append(path)
+            out = self.spark.read.parquet(path)
+        if os.environ.get("DOPPEL_STAGE_TIMING"):
+            print(f"STAGE {name} mode={self.mode} "
+                  f"cut_s={time.time() - t0:.2f}", flush=True)
+        return out
+
+    def cleanup(self) -> None:
+        """Reclaim caches/tables. Only safe after consumers finish."""
+        for df in self.cached:
+            df.unpersist()
+        self.cached.clear()
+        for p in self.paths:
+            shutil.rmtree(p, ignore_errors=True)
+        self.paths.clear()
+
+
+def materialize(df: DataFrame, name: str = "stage",
+                small_input: bool | None = None) -> DataFrame:
+    """One-off cut for callers without a pipeline-scoped materializer."""
+    return StageMaterializer.for_input(df, small_input=small_input).cut(df, name)

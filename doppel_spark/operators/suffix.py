@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 
 from doppel_spark.functions.fingerprint import fingerprint_udf
 from doppel_spark.operators.lsh import pairs_from_buckets
+from doppel_spark.operators.stage import StageMaterializer
 
 
 def suffix_array(s: np.ndarray) -> np.ndarray:
@@ -108,13 +109,24 @@ def lcs_len_udf():
 def fingerprint_candidates(
     docs: DataFrame, id_col: str = "url", text_col: str = "text",
     k: int = 64, window: int = 64, bucket_cap: int = 256,
+    mat: StageMaterializer | None = None,
 ) -> DataFrame:
-    """Pairs sharing ≥1 winnowed fingerprint (url_a < url_b)."""
+    """Pairs sharing ≥1 winnowed fingerprint (url_a < url_b).
+
+    The winnowing UDF's output is cut BEFORE the bucket machinery:
+    bucket membership alone evaluates its input twice (stats + join
+    back), and without the cut the UDF re-ran per evaluation — the
+    round-2 bench's 3× ``substring_pairs`` regression.
+    """
+    if mat is None:
+        mat = StageMaterializer.for_input(docs.select(id_col, text_col),
+                                          prefix="suffix")
     fp = fingerprint_udf(k, window)
-    exploded = docs.select(
-        F.col(id_col), F.explode(fp(F.col(text_col))).alias("fp")
-    )
-    return pairs_from_buckets(exploded, ["fp"], id_col=id_col, bucket_cap=bucket_cap)
+    fps = mat.cut(
+        docs.select(F.col(id_col), fp(F.col(text_col)).alias("fps")), "fps")
+    exploded = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
+    return pairs_from_buckets(exploded, ["fp"], id_col=id_col,
+                              bucket_cap=bucket_cap, mat=mat)
 
 
 def substring_dup_pairs(
@@ -127,7 +139,11 @@ def substring_dup_pairs(
     window + k − 1 (the winnowing guarantee); candidates below that
     floor may be missed by design.
     """
-    pairs = fingerprint_candidates(docs, id_col, text_col, k, window, bucket_cap)
+    mat = StageMaterializer.for_input(docs.select(id_col, text_col),
+                                      prefix="suffix")
+    pairs = mat.cut(
+        fingerprint_candidates(docs, id_col, text_col, k, window, bucket_cap,
+                               mat=mat), "cand_pairs")
     # prune the text table to pair participants FIRST (cheap id
     # semi-join), so the two text joins below shuffle only texts that
     # actually appear in a candidate pair — at web scale candidates are
