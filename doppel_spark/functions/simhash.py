@@ -24,34 +24,53 @@ from pyspark.sql import types as T
 SIMHASH_BITS = 64
 
 
+#: per-bit weights for packing the sign vector into one uint64
+_BIT_WEIGHTS = np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+
 def simhash_udf(ngram: int = 1):
     """pandas UDF: text → int64 SimHash over token (or token-n-gram) features.
 
-    Vectorized per doc: token hashes via pandas SipHash (C), bit matrix
-    via numpy unpack, weighted by token frequency.
+    Per doc: tokenize (``str.split``), dedupe with counts
+    (``np.unique`` — web text is stopword-heavy, so this typically
+    shrinks the hash/bit work several-fold), hash the unique features
+    (pandas SipHash, C), expand hash bits with ``unpackbits`` (uint8 —
+    little-endian view, so row bit j IS value bit j), and take the
+    count-weighted bit sums as one integer matvec. The 64-bit sign pack
+    runs once per Arrow batch as a vectorized multiply-sum.
+
+    Deliberately NOT flattened into one batch-wide matrix: the per-doc
+    (n_feat × 64) intermediates stay cache-resident, while a
+    batch-flattened formulation streams hundreds of MB of bit matrix
+    through DRAM per batch and measured 3-10× *slower* on this
+    memory-bandwidth-bound host (and loses the per-doc ``unique``
+    compression on repetitive text). The weighted ±1 sum uses the
+    identity ``v = 2·(counts·bits) − n_tokens``.
     """
 
     @F.pandas_udf(T.LongType())
     def simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        bit_idx = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        n = len(texts)
+        ones = np.zeros((n, SIMHASH_BITS), dtype=np.int64)
+        totals = np.zeros(n, dtype=np.int64)
         for i, t in enumerate(texts):
             toks = (t or "").split()
             if ngram > 1 and len(toks) >= ngram:
-                toks = [" ".join(toks[j : j + ngram]) for j in range(len(toks) - ngram + 1)]
+                toks = [" ".join(toks[j : j + ngram])
+                        for j in range(len(toks) - ngram + 1)]
             if not toks:
-                out[i] = 0
                 continue
-            feats, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+            feats, counts = np.unique(np.asarray(toks, dtype=object),
+                                      return_counts=True)
             h = pd.util.hash_array(feats)  # (n_feat,) uint64
-            bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-            v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)  # weighted ±1 sums
-            fp = np.uint64(0)
-            for j in range(SIMHASH_BITS):
-                if v[j] > 0:
-                    fp |= np.uint64(1) << np.uint64(j)
-            out[i] = fp.astype(np.int64).item() if hasattr(fp, "astype") else int(fp)
-        return pd.Series(out)
+            bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                                 bitorder="little")  # (n_feat, 64) {0,1}
+            ones[i] = counts @ bits
+            totals[i] = counts.sum()
+        v = 2 * ones - totals[:, None]  # weighted ±1 sums; empty docs → 0
+        fp = ((v > 0).astype(np.uint64) * _BIT_WEIGHTS[None, :]) \
+            .sum(axis=1, dtype=np.uint64)
+        return pd.Series(fp.astype(np.int64))
 
     return simhash
 

@@ -31,12 +31,21 @@ from doppel_spark.operators.lsh import pairs_from_buckets
 from doppel_spark.operators.stage import StageMaterializer
 
 
-def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array by prefix doubling (numpy lexsort), O(n log² n)."""
+def _suffix_array_levels(
+    s: np.ndarray,
+) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """Suffix array by prefix doubling (numpy lexsort), O(n log² n),
+    plus the per-round rank arrays: ``levels`` is a list of
+    ``(span, rank)`` where ``rank[i] == rank[j]`` ⟺ suffixes i and j
+    agree on their first ``span`` characters. These are exactly the
+    sparse-table levels the vectorized LCP query (:func:`_lcp_pairs`)
+    needs — keeping them costs O(n log n) memory that the construction
+    already paid transiently."""
     n = len(s)
     if n == 0:
-        return np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.int64), []
     rank = np.unique(s, return_inverse=True)[1].astype(np.int64)
+    levels: list[tuple[int, np.ndarray]] = [(1, rank)]
     k = 1
     idx = np.arange(n)
     while True:
@@ -50,47 +59,78 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
         new_rank = np.empty(n, dtype=np.int64)
         new_rank[order] = np.cumsum(changed)
         rank = new_rank
+        levels.append((2 * k, rank))
         if rank[order[-1]] == n - 1:
-            return order.astype(np.int64)
+            return order.astype(np.int64), levels
         k *= 2
 
 
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (numpy lexsort), O(n log² n)."""
+    return _suffix_array_levels(s)[0]
+
+
+def _lcp_pairs(i_arr: np.ndarray, j_arr: np.ndarray,
+               levels: list[tuple[int, np.ndarray]], n: int) -> np.ndarray:
+    """LCP of suffix pairs (i, j), vectorized over the pairs.
+
+    Greedy binary decomposition over the doubling levels, largest span
+    first: equal ranks at span ⟹ the first ``span`` characters match
+    (suffixes of one string are pairwise distinct, so equal rank cannot
+    mean "both ended early") — add the span and advance both cursors.
+    The doubling loop only terminates once all ranks are distinct, so
+    every possible LCP is < the largest span and the decomposition is
+    exact. O(pairs · log n) numpy ops — replaces Kasai's O(total chars)
+    per-character Python loop, which was the slowest Python in the repo.
+    """
+    i = i_arr.astype(np.int64).copy()
+    j = j_arr.astype(np.int64).copy()
+    h = np.zeros(len(i), dtype=np.int64)
+    for span, rank in reversed(levels):
+        ok = (i < n) & (j < n)
+        if not ok.any():
+            break
+        eq = np.zeros(len(i), dtype=bool)
+        eq[ok] = rank[i[ok]] == rank[j[ok]]
+        h[eq] += span
+        i[eq] += span
+        j[eq] += span
+    return h
+
+
 def lcp_array(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """Kasai's algorithm: lcp[i] = LCP(sa[i], sa[i-1]); lcp[0] = 0."""
+    """lcp[i] = LCP(sa[i], sa[i-1]); lcp[0] = 0.
+
+    Vectorized via the doubling levels (same asymptotics as Kasai,
+    O(n log n), but numpy ops over all adjacent pairs at once instead
+    of a per-character Python loop)."""
     n = len(s)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    _, levels = _suffix_array_levels(s)
     lcp = np.zeros(n, dtype=np.int64)
-    rank = np.empty(n, dtype=np.int64)
-    rank[sa] = np.arange(n)
-    h = 0
-    for i in range(n):
-        r = rank[i]
-        if r > 0:
-            j = sa[r - 1]
-            while i + h < n and j + h < n and s[i + h] == s[j + h]:
-                h += 1
-            lcp[r] = h
-            if h:
-                h -= 1
-        else:
-            h = 0
+    lcp[1:] = _lcp_pairs(sa[1:], sa[:-1], levels, n)
     return lcp
 
 
 def longest_common_substring_len(a: str, b: str) -> int:
-    """Exact LCS length via generalized suffix array of a ⊕ 0x110000 ⊕ b."""
+    """Exact LCS length via generalized suffix array of a ⊕ 0x110000 ⊕ b.
+
+    Only the adjacent suffix pairs whose members originate in
+    *different* documents are LCP-queried — the cross-origin pairs are
+    the only ones that witness a common substring."""
     if not a or not b:
         return 0
     xa = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
     xb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
     sep = np.int64(0x110000)  # above any Unicode code point
     s = np.concatenate([xa, [sep], xb])
-    sa = suffix_array(s)
-    lcp = lcp_array(s, sa)
+    sa, levels = _suffix_array_levels(s)
     origin = sa < len(xa)  # suffix starts in a?
-    cross = origin[1:] != origin[:-1]
-    if not cross.any():
+    cross = np.nonzero(origin[1:] != origin[:-1])[0]
+    if cross.size == 0:
         return 0
-    return int(lcp[1:][cross].max())
+    return int(_lcp_pairs(sa[cross + 1], sa[cross], levels, len(s)).max())
 
 
 def lcs_len_udf():
