@@ -50,6 +50,12 @@ from doppel_spark.session import ship_package  # noqa: E402
 ANN_QUERY_IDS = [0, 5, 10, 15, 20]
 ANN_K = 10
 EMB_NEARDUP_THRESHOLD = 0.5
+#: embedding width of the testdata tables (all SFs) — passed to the
+#: LSH/banded queries so plan build needs no driver `.first()` probe
+EMB_DIM = 64
+#: appended to planted n-gram-Jaccard copies: 10 fresh tokens ⇒ a known
+#: non-trivial Jaccard against the original (same tokenization both engines)
+NGRAM_EDIT_SUFFIX = " qq ww ee rr tt yy uu ii oo pp"
 FILTER_PRESET = FilterConfig(
     exclude_source_globs=("src1*",),
     min_size=100,
@@ -367,7 +373,7 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate by design → rows-only
     return lsh_ann_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K,
-                        n_planes=8, probe_hamming=3)
+                        n_planes=8, probe_hamming=3, dim=EMB_DIM)
 
 
 def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,8 +402,39 @@ def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     return embedding_neardup_pairs(
-        emb.union(planted), threshold=0.95,
+        emb.union(planted), threshold=0.95, dim=EMB_DIM,
     ).select("id_a", "id_b")
+
+
+def _q_ngram_jaccard_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard (the high-precision verification quantity of
+    ``ngram_jaccard_dedup``) over a DETERMINISTIC id-derived pair set —
+    not LSH-derived, so a DuckDB oracle can reproduce the shingle sets
+    and value-check the Jaccard itself. Pairs: each first-30 doc vs an
+    in-query token-appended copy (known mid-range Jaccard) plus each
+    consecutive doc pair (near-zero Jaccard). Values are floored to
+    integer micros so the hash compare is float-repr-proof."""
+    ship_package(spark)
+    from doppel_spark.operators.lsh import verify_pairs_exact
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 30) \
+        .select("doc_id", "text")
+    edited = docs.select((F.col("doc_id") + F.lit(4_000_000)).alias("doc_id"),
+                         F.concat(F.col("text"),
+                                  F.lit(NGRAM_EDIT_SUFFIX)).alias("text"))
+    both = docs.union(edited)
+    edit_pairs = docs.select(
+        F.col("doc_id").alias("url_a"),
+        (F.col("doc_id") + F.lit(4_000_000)).alias("url_b"))
+    neighbor_pairs = docs.filter(F.col("doc_id") < 29).select(
+        F.col("doc_id").alias("url_a"),
+        (F.col("doc_id") + F.lit(1)).alias("url_b"))
+    out = verify_pairs_exact(edit_pairs.union(neighbor_pairs), both,
+                             NearDupConfig(), id_col="doc_id")
+    return out.select(
+        F.col("url_a").alias("id_a"), F.col("url_b").alias("id_b"),
+        F.floor(F.col("jaccard") * 1_000_000).cast("long")
+        .alias("jaccard_micros"))
 
 
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "simhash_near_pairs": _q_simhash_near_pairs,
+        "ngram_jaccard_planted": _q_ngram_jaccard_planted,
     }
 
 
@@ -502,6 +540,44 @@ def _quality_sql() -> str:
            CAST(floor((0.4 * len_ok + 0.3 * stop_sig + 0.2 * rep_sig
                        + 0.1 * punct_sig) * 1000000) AS BIGINT) AS quality_micros
     FROM s
+    """
+
+
+def _shingles_sql(text_expr: str, k: int) -> str:
+    """DuckDB expression reproducing ``minhash.shingle_set`` exactly:
+    distinct k-word shingles joined by single spaces; < k tokens → the
+    distinct token set; no tokens → ['']."""
+    toks = (f"list_filter(string_split_regex(trim({text_expr}), '\\s+'), "
+            "x -> x <> '')")
+    return (
+        f"CASE WHEN len({toks}) >= {k} THEN "
+        f"list_distinct(list_transform(range(len({toks}) - {k - 1}), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' '))) "
+        f"WHEN len({toks}) > 0 THEN list_distinct({toks}) "
+        f"ELSE [''] END")
+
+
+def _ngram_jaccard_sql() -> str:
+    k = NearDupConfig().shingle_k
+    jac = ("CAST(len(list_intersect(sa, sb)) AS DOUBLE) / "
+           "CAST(len(list_distinct(list_concat(sa, sb))) AS DOUBLE)")
+    return f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+    prs AS (
+      SELECT doc_id AS id_a, doc_id + 4000000 AS id_b,
+             text AS text_a, text || '{NGRAM_EDIT_SUFFIX}' AS text_b
+      FROM base
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, a.text, b.text
+      FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+    ), sh AS (
+      SELECT id_a, id_b, {_shingles_sql('text_a', k)} AS sa,
+             {_shingles_sql('text_b', k)} AS sb
+      FROM prs
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(floor({jac} * 1000000) AS BIGINT) AS jaccard_micros
+    FROM sh
     """
 
 
@@ -719,6 +795,7 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS payload_digest
             FROM documents
         """,
+        "ngram_jaccard_planted": _ngram_jaccard_sql(),
         # minhash_lsh_clusters / simhash_fingerprints / simhash_near_pairs /
         # substring_pairs / doc_fingerprints / ann_topk_lsh / ann_topk_ivf /
         # emb_neardup_lsh: hash-function-defined or approximate-by-design

@@ -42,6 +42,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import warnings
 from dataclasses import dataclass
 from typing import Any, Mapping
 
@@ -122,6 +123,15 @@ def _file_provider(path: str) -> dict[str, dict[str, Any]] | None:
 
 
 def _env_provider(env: Mapping[str, str]) -> dict[str, dict[str, Any]]:
+    """Prefixed env vars → sectioned config fragment.
+
+    Unknown sections warn and are SKIPPED rather than failing the job —
+    the environment is a shared namespace and a stray forward-compat
+    deployment variable must not crash every run (mirrors the
+    reference's env provider, which silently ignores unparseable keys,
+    /root/reference/internal/config/env_provider.go; we keep a warning
+    because silent is how typos go unnoticed). Unknown *fields* within
+    a known section get the same treatment at merge time."""
     out: dict[str, dict[str, Any]] = {}
     for key, raw in env.items():
         if not key.startswith(ENV_PREFIX):
@@ -133,9 +143,10 @@ def _env_provider(env: Mapping[str, str]) -> dict[str, dict[str, Any]]:
                 out.setdefault(section.lower(), {})[field_name] = raw
                 break
         else:
-            raise FilterConfigError(
-                f"unrecognized env var {key}: expected "
-                f"{ENV_PREFIX}{{FILTER|NEARDUP|JOB}}_<FIELD>")
+            warnings.warn(
+                f"ignoring unrecognized env var {key}: expected "
+                f"{ENV_PREFIX}{{FILTER|NEARDUP|JOB}}_<FIELD>",
+                RuntimeWarning, stacklevel=2)
     return out
 
 
@@ -212,6 +223,12 @@ def load_job_config(
                              for k, v in _JOB_DEFAULTS.items()}}[section]
             for field_name, value in fields.items():
                 if field_name not in types:
+                    if name == "env":  # warn-and-skip: see _env_provider
+                        warnings.warn(
+                            f"ignoring unknown env config key "
+                            f"{section}.{field_name}",
+                            RuntimeWarning, stacklevel=2)
+                        continue
                     raise FilterConfigError(
                         f"{name}: unknown key {section}.{field_name}")
                 merged[section][field_name] = _coerce(

@@ -84,8 +84,6 @@ def test_typed_coercion_from_env():
 
 
 @pytest.mark.parametrize("env", [
-    {"DOPPEL_SPARK_FILTER_NO_SUCH_FIELD": "1"},     # unknown key
-    {"DOPPEL_SPARK_BOGUS_SECTION_X": "1"},          # unknown section
     {"DOPPEL_SPARK_JOB_MODE": "everything"},        # invalid choice
     {"DOPPEL_SPARK_NEARDUP_BANDS": "7"},            # 128 % 7 != 0
     {"DOPPEL_SPARK_FILTER_MIN_SIZE": "1 lightyear"},  # bad size literal
@@ -93,6 +91,19 @@ def test_typed_coercion_from_env():
 def test_validation_rejects(env):
     with pytest.raises(FilterConfigError):
         load_job_config(env=env)
+
+
+@pytest.mark.parametrize("env", [
+    {"DOPPEL_SPARK_FILTER_NO_SUCH_FIELD": "1"},     # unknown key
+    {"DOPPEL_SPARK_BOGUS_SECTION_X": "1"},          # unknown section
+])
+def test_unknown_env_vars_warn_and_skip(env):
+    # a stray forward-compat deployment variable must not crash the job
+    # (the reference env provider silently ignores unknown keys); we
+    # warn instead of staying silent so typos are noticed
+    with pytest.warns(RuntimeWarning):
+        cfg = load_job_config(env=env)
+    assert cfg == load_job_config(env={})
 
 
 def test_yaml_without_lib_raises_not_skips(tmp_path):
