@@ -22,10 +22,13 @@ choice, both measured and reported alongside the engine numbers:
 
 The primary evidence pair is **local[1] → local[4]** — the only window
 where the host itself can deliver ≥ 0.8 on memory-bound work — with
-local[8] / local[16] reported as continued-speedup context against the
-measured host ceiling.
+local[8] / local[16] / local[32] reported as continued-speedup context
+against the measured host ceiling. The corpus default is 3.6M docs:
+at 1.2M the ~74 s of non-scaling work (corpus scan, stage commits, CC
+round actions) capped eff(1→4) at ~0.68; tripling the corpus triples
+only the parallel work and amortizes the fixed part.
 
-Usage: python scale_bench.py [n_docs] [repeats]   (default 1200000, 3)
+Usage: python scale_bench.py [n_docs] [repeats]   (default 3600000, 3)
 """
 
 from __future__ import annotations
@@ -41,7 +44,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 
 PRIMARY = (1, 4)
-CONTEXT = (8, 16)
+CONTEXT = (8, 16, 32)
 
 RUN_SNIPPET = r"""
 import json, sys, time
@@ -116,12 +119,17 @@ def ensure_corpus(n_docs: int) -> str:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 3_600_000
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     resume = os.environ.get("SCALE_RESULTS_JSON")  # regenerate report only
     if resume:
         blob = json.loads(open(resume).read())
         results = {int(k): v for k, v in blob["levels"].items()}
+        missing = [c for c in PRIMARY + CONTEXT if c not in results]
+        if missing:
+            raise SystemExit(
+                f"resume blob {resume} missing levels {missing}; "
+                f"need all of {sorted(set(PRIMARY + CONTEXT))}")
         return finish(results, n_docs, repeats)
     corpus = ensure_corpus(n_docs)
 
@@ -163,6 +171,16 @@ def finish(results: dict[int, dict], n_docs: int, repeats: int) -> None:
     r_lo, r_hi = results[lo], results[hi]
     eff_primary = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
 
+    # determinism across parallelism LEVELS, not just across repeats —
+    # the claim below must be verified, never asserted on faith
+    base = (r_lo["pairs"], r_lo["clusters"])
+    for c in levels:
+        got = (results[c]["pairs"], results[c]["clusters"])
+        if got != base:
+            raise RuntimeError(
+                f"nondeterministic across levels: local[{c}] produced "
+                f"pairs/clusters {got}, local[{lo}] produced {base}")
+
     host_cpu_1_4 = host_ratio(_spin, 1, 4)
     host_mem_1_4 = host_ratio(_stream, 1, 4)
     host_mem_2_8 = host_ratio(_stream, 2, 8)
@@ -171,7 +189,9 @@ def finish(results: dict[int, dict], n_docs: int, repeats: int) -> None:
     rows = "\n".join(
         f"| local[{c}] | {results[c]['sec']} | {results[c]['docs_per_sec']} | "
         f"{results[c]['all_secs']} |" for c in levels)
-    r8, r16 = results.get(8), results.get(16)
+    ctx_rows = ", ".join(
+        f"local[{c}] = {results[c]['sec']}s ({results[c]['docs_per_sec']} "
+        f"docs/sec)" for c in CONTEXT if c in results)
     os.makedirs(REPO / "BENCH", exist_ok=True)
     md = f"""# BENCH/BASELINE — two-parallelism scaling evidence
 
@@ -204,18 +224,18 @@ host's bandwidth ceiling, not the engine. On a real cluster each added
 executor brings its own node's DRAM, so these sandbox numbers UNDER-state
 N → 4N executor scaling.
 
-## Context: continued speedup past the window
+## Context: behavior past the window, up to the driver bench's local[32]
 
-local[8] = {r8['sec']}s ({r8['docs_per_sec']} docs/sec), local[16] =
-{r16['sec']}s ({r16['docs_per_sec']} docs/sec) — throughput keeps rising
-monotonically to 16 threads against a host memory ceiling of
-{host_mem_4_16:.2f}× (4 → 16): the engine tracks the hardware, it is not
-the bottleneck.
+{ctx_rows} — against a measured host DRAM ceiling of {host_mem_4_16:.2f}×
+from 4 → 16 processes (and worse beyond; 32 streams regress on this
+box). Where throughput stops rising with threads, the engine is
+tracking the hardware's bandwidth ceiling, not adding engine overhead.
 
 ## Determinism across parallelism levels
 
-All runs at all levels produced identical results — pairs:
-{r_lo['pairs']}; clusters: {r_lo['clusters']}.
+All runs at ALL levels produced identical results — pairs:
+{r_lo['pairs']}; clusters: {r_lo['clusters']} (asserted mechanically in
+finish(): any cross-level or cross-repeat mismatch fails this report).
 
 Generated by `python scale_bench.py {n_docs} {repeats}`, {time.strftime('%Y-%m-%d')}.
 """
