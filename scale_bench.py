@@ -54,8 +54,14 @@ from doppel_spark.config import NearDupConfig
 from doppel_spark.operators.neardup import near_dup_pipeline
 
 cpus = {cpus}
+# shuffle partitions at 3x cores (cluster practice is 2-3x total cores):
+# with exactly N partitions on N cores, the dominant Arrow-UDF stage
+# quantizes into N coarse tasks and per-task skew extends the stage
+# wall directly -- measured at 1.2M docs/local[4]: the signature stage
+# ran 129s wall against a 92s mean task with 4 tasks; 3x partitions
+# lets the scheduler average the skew out
 spark = get_spark(app_name=f"scale_bench_{cpus}", master=f"local[{cpus}]",
-                  shuffle_partitions=max(cpus, 2))
+                  shuffle_partitions=max(3 * cpus, 3))
 pages = spark.read.parquet({corpus!r})
 n_docs = pages.count()  # warm the scan/file listing
 t0 = time.time()
