@@ -178,6 +178,9 @@ def ivf_centroids(emb: DataFrame, n_centroids: int, seed: int = 42,
     """
     from pyspark.sql import functions as F2
 
+    # calibration count: on parquet this resolves at row-group-stats
+    # level (no column decode); behind an Iceberg catalog, prefer the
+    # snapshot's total-records summary property to skip the job entirely
     n_rows = emb.count()
     frac = min(1.0, sample_cap * 1.2 / max(n_rows, 1))
     denom = 1 << 30

@@ -1,0 +1,76 @@
+"""StageMaterializer: strategy selection, cut semantics, cleanup."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from doppel_spark.operators.stage import (
+    SMALL_INPUT_BYTES,
+    StageMaterializer,
+    plan_size_bytes,
+)
+
+
+def test_plan_size_bytes_parquet_scan_accurate(spark, tmp_path):
+    path = str(tmp_path / "t.parquet")
+    spark.range(10_000).withColumn("x", F.rand(42)).write.parquet(path)
+    df = spark.read.parquet(path)
+    est = plan_size_bytes(df)
+    disk = sum(f.stat().st_size for f in (tmp_path / "t.parquet").glob("*.parquet"))
+    assert est is not None and 0 < est
+    # Catalyst's estimate for a scan is file-size based
+    assert abs(est - disk) / disk < 0.5
+
+
+def test_for_input_auto_picks_persist_for_small(spark, tmp_path):
+    path = str(tmp_path / "small.parquet")
+    spark.range(100).write.parquet(path)
+    df = spark.read.parquet(path)
+    mat = StageMaterializer.for_input(df, prefix="t")
+    assert mat.mode == "persist"  # far below SMALL_INPUT_BYTES
+
+
+def test_for_input_explicit_override(spark):
+    df = spark.range(10).toDF("id")
+    assert StageMaterializer.for_input(df, small_input=False).mode == "table"
+    assert StageMaterializer.for_input(df, small_input=True).mode == "persist"
+
+
+def test_cut_persist_roundtrip_and_cleanup(spark):
+    mat = StageMaterializer(spark, mode="persist", prefix="t")
+    df = spark.range(1000).withColumn("y", F.col("id") * 2)
+    out = mat.cut(df, "stage1")
+    assert out.count() == 1000
+    assert out.filter(F.col("y") == 10).count() == 1
+    assert len(mat.cached) == 1
+    mat.cleanup()
+    assert mat.cached == []
+
+
+def test_cut_table_roundtrip_and_cleanup(spark):
+    mat = StageMaterializer(spark, mode="table", prefix="t")
+    df = spark.range(1000).withColumn("y", F.col("id") * 3)
+    out = mat.cut(df, "stage1")
+    assert out.count() == 1000
+    assert sorted(out.columns) == ["id", "y"]
+    path = mat.paths[0]
+    assert os.path.exists(path)
+    # the returned frame reads the table, not the original lineage:
+    # accurate stats + truncated lineage is the whole point
+    assert "Scan parquet" in out._jdf.queryExecution().executedPlan().toString()
+    mat.cleanup()
+    assert not os.path.exists(path)
+    assert mat.paths == []
+
+
+def test_table_mode_threshold_boundary(spark):
+    # unknown-size plans (no file-backed root) must not crash the
+    # auto decision; they default to the persist strategy
+    df = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    mat = StageMaterializer.for_input(df, prefix="t")
+    assert mat.mode in ("persist", "table")
+    est = plan_size_bytes(df)
+    if est is not None and est < SMALL_INPUT_BYTES:
+        assert mat.mode == "persist"
