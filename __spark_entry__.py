@@ -40,6 +40,7 @@ from doppel_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
     embedding_neardup_pairs,
     lsh_ann_topk,
+    topk_recall,
 )
 from doppel_spark.operators.suffix import substring_dup_pairs  # noqa: E402
 from doppel_spark.session import ship_package  # noqa: E402
@@ -49,6 +50,21 @@ from doppel_spark.session import ship_package  # noqa: E402
 
 ANN_QUERY_IDS = [0, 5, 10, 15, 20]
 ANN_K = 10
+#: asserted recall@k floors for the approximate ANN tiers, in micros
+#: (1_000_000 = perfect recall vs the oracle-green brute-force top-k
+#: over the SAME planted corpus). The queries below EMBED the assertion
+#: in the plan (assert_true), so the driver's execution of the contract
+#: query fails outright if the default probe configs ever drop below
+#: the floor. Ground truth is PLANTED (10 perturbed copies of each
+#: query vector, cosine ≥ 0.995 — they are the true top-10 by a wide
+#: margin over the random corpus): on raw random vectors the "true"
+#: neighbors are statistically indistinguishable from the bulk (measured
+#: per-query recall 0.4–0.8 at any sane probe config), which measures
+#: the data, not the index. Planted neighbors measure what the tier is
+#: for — finding genuinely-near vectors. Measured: both tiers recover
+#: 10/10 planted for every query at sf0.001/sf0.01/sf0.1.
+ANN_LSH_RECALL_FLOOR_MICROS = 900_000
+ANN_IVF_RECALL_FLOOR_MICROS = 900_000
 EMB_NEARDUP_THRESHOLD = 0.5
 #: embedding width of the testdata tables (all SFs) — passed to the
 #: LSH/banded queries so plan build needs no driver `.first()` probe
@@ -109,6 +125,53 @@ def _q_exact_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = exact_dup_pipeline(_docs(spark, sf_dir), id_col="doc_id",
                              size_col="n_chars")
     return res.metrics()
+
+
+def _q_exact_dup_report_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship funnel WITH the filter preset attached (round-3
+    verdict task 5): filter-during-scan (size window + source glob +
+    lang allowlist, ≈ doppel's --preset path, cmd/find.go:187-229 +
+    filter.go:147-207) feeding the three-stage funnel's stats report.
+    Filter and funnel were previously only contract-tested separately."""
+    res = exact_dup_pipeline(
+        _docs(spark, sf_dir), id_col="doc_id", size_col="n_chars",
+        filter_config=FILTER_PRESET, source_col="source", lang_col="lang")
+    return res.metrics()
+
+
+def _q_stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming incremental exact dedup, run to completion
+    under an ``availableNow`` trigger (round-3 verdict task 4 — the
+    streaming tier's first contract query). The documents table plus a
+    re-keyed duplicate copy (identical text, same event time) is staged
+    as a file stream; ``dropDuplicatesWithinWatermark`` on the content
+    digest must emit each distinct text exactly once — input 2N rows →
+    output N digests, which the DuckDB oracle reproduces as
+    ``SELECT DISTINCT sha256(text)``. Which doc_id of a duplicate pair
+    survives is micro-batch-order-dependent, so the contract output is
+    the (deterministic) surviving digest SET, not the row ids."""
+    import tempfile
+
+    from doppel_spark.streaming.incremental import incremental_exact_dedup_stream
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.select((F.col("doc_id") + F.lit(6_000_000)).alias("doc_id"),
+                          "text")
+    # fixed synthetic event times (determinism: no wall clock); a dup
+    # pair's two rows share one timestamp, far inside the 1h watermark
+    both = docs.union(planted).withColumn(
+        "warc_ts",
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id") % 60))
+    tmp = tempfile.mkdtemp(prefix="doppel_stream_")
+    both.write.parquet(f"{tmp}/in")
+    stream = spark.readStream.schema(both.schema).parquet(f"{tmp}/in")
+    dedup = incremental_exact_dedup_stream(stream, ts_col="warc_ts",
+                                           text_col="text")
+    q = (dedup.writeStream.trigger(availableNow=True)
+         .format("parquet").option("path", f"{tmp}/out")
+         .option("checkpointLocation", f"{tmp}/ck").start())
+    q.awaitTermination()
+    return spark.read.parquet(f"{tmp}/out").select("digest").distinct()
 
 
 def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,18 +433,63 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(fp(F.col("text"))).cast("long").alias("n_fingerprints"))
 
 
+def _ann_planted_corpus(emb: DataFrame) -> DataFrame:
+    """Corpus ∪ 10 planted near-neighbors per ANN query vector.
+
+    Copy j of query q is ``q + 0.01·j·reverse(q)`` — reverse(q) is
+    ~orthogonal to a random q, so cosine(copy, q) ≈ 1/√(1+(0.01j)²)
+    ≥ 0.995, far above the random-pair bulk (≲ 0.6): the planted ten
+    ARE the true top-10 for every query, and the brute-force ranking
+    over this corpus is the ground truth the approximate tiers are
+    gated against."""
+    from functools import reduce
+
+    qs = emb.filter(F.col("vec_id").isin(ANN_QUERY_IDS)) \
+        .select("vec_id", "embedding")
+
+    def _copy(j: int) -> DataFrame:
+        coef = F.lit(0.01 * j)
+        return qs.select(
+            (F.col("vec_id") * 100 + F.lit(7_000_000 + j)).alias("vec_id"),
+            F.zip_with("embedding", F.reverse("embedding"),
+                       lambda x, y: (x + coef * y).cast("float"))
+            .alias("embedding"))
+
+    return reduce(DataFrame.union,
+                  [_copy(j) for j in range(1, ANN_K + 1)],
+                  emb.select("vec_id", "embedding"))
+
+
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate by design → rows-only
-    return lsh_ann_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K,
-                        n_planes=8, probe_hamming=3, dim=EMB_DIM)
+    """Sign-LSH ANN with an ASSERTED recall gate (round-3 verdict task
+    1): per-query recall@k vs brute-force top-k over a planted corpus
+    (see :func:`_ann_planted_corpus` — the true neighbors are known by
+    construction), with ``assert_true(recall ≥ 0.9)`` embedded in the
+    plan — executing this query RAISES if the default probe config
+    (8 planes, Hamming-3 probe) ever drops below the floor. Output:
+    (query_id, n_true, n_hit, recall_micros), 5 rows. Exact recall is
+    hash-function-defined → rows-only, but the floor is mechanical."""
+    corpus = _ann_planted_corpus(_emb(spark, sf_dir))
+    approx = lsh_ann_topk(corpus, ANN_QUERY_IDS, k=ANN_K,
+                          n_planes=8, probe_hamming=3, dim=EMB_DIM)
+    brute = brute_force_topk(corpus, ANN_QUERY_IDS, k=ANN_K)
+    return topk_recall(approx, brute,
+                       floor_micros=ANN_LSH_RECALL_FLOOR_MICROS)
 
 
 def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cell-probed IVF search; approximate by design → rows-only
+    """IVF cell-probed ANN with the same asserted recall gate as
+    ``ann_topk_lsh`` (planted ground truth, recall@k vs brute force,
+    assert_true ≥ 0.9 inside the plan). Centroids are data-derived
+    (deterministic mini k-means) → rows-only, floor mechanical."""
     from doppel_spark.operators.similarity import ivf_ann_topk
 
-    return ivf_ann_topk(_emb(spark, sf_dir), ANN_QUERY_IDS, k=ANN_K,
-                        n_centroids=8, n_probe=3)
+    corpus = _ann_planted_corpus(_emb(spark, sf_dir))
+    approx = ivf_ann_topk(corpus, ANN_QUERY_IDS, k=ANN_K,
+                          n_centroids=8, n_probe=3)
+    brute = brute_force_topk(corpus, ANN_QUERY_IDS, k=ANN_K)
+    return topk_recall(approx, brute,
+                       floor_micros=ANN_IVF_RECALL_FLOOR_MICROS)
 
 
 def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,6 +567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_members": _q_exact_dup_members,
         "exact_dup_members_planted": _q_exact_dup_members_planted,
         "exact_dup_report": _q_exact_dup_report,
+        "exact_dup_report_filtered": _q_exact_dup_report_filtered,
+        "stream_dedup_digests": _q_stream_dedup_digests,
         "length_buckets": _q_length_buckets,
         "filter_preset_docs": _q_filter_preset_docs,
         "dedup_keep_first": _q_dedup_keep_first,
@@ -546,7 +656,13 @@ def _quality_sql() -> str:
 def _shingles_sql(text_expr: str, k: int) -> str:
     """DuckDB expression reproducing ``minhash.shingle_set`` exactly:
     distinct k-word shingles joined by single spaces; < k tokens → the
-    distinct token set; no tokens → ['']."""
+    distinct token set; no tokens → [''].
+
+    Tokenization parity is ASCII-whitespace-only: the Spark side uses
+    Python ``str.split()`` (any Unicode whitespace) while this oracle's
+    ``string_split_regex '\\s+'`` matches ASCII whitespace. Identical on
+    the all-ASCII testdata; a corpus containing NBSP/Unicode whitespace
+    would need both sides normalized first (ADVICE r3)."""
     toks = (f"list_filter(string_split_regex(trim({text_expr}), '\\s+'), "
             "x -> x <> '')")
     return (
@@ -618,6 +734,34 @@ def oracle_sql() -> dict[str, str]:
                      AS duplicate_docs,
                    CAST(coalesce((SELECT sum(size * (n - 1)) FROM grp), 0) AS BIGINT)
                      AS total_wasted_space
+        """,
+        "exact_dup_report_filtered": f"""
+            WITH base AS (
+              SELECT * FROM documents
+              WHERE n_chars >= 100 AND n_chars <= 400
+                AND lang IN ('en', 'de')
+                AND source NOT LIKE 'src1%'
+            ), cand AS (
+              SELECT * FROM base WHERE n_chars IN (
+                SELECT n_chars FROM base GROUP BY 1 HAVING count(*) > 1)
+            ), quick AS (
+              SELECT * FROM cand WHERE ({QUICK_SAMPLE_SQL}) IN (
+                SELECT {QUICK_SAMPLE_SQL} FROM cand GROUP BY 1 HAVING count(*) > 1)
+            ), grp AS (
+              SELECT sha256(text) AS digest, count(*) AS n, min(n_chars) AS size
+              FROM quick GROUP BY 1 HAVING count(*) > 1
+            )
+            SELECT (SELECT count(*) FROM base) AS total_docs,
+                   (SELECT count(*) FROM cand) AS processed_docs,
+                   (SELECT count(*) FROM quick) AS full_hashed_docs,
+                   (SELECT count(*) FROM grp) AS duplicate_groups,
+                   CAST(coalesce((SELECT sum(n) FROM grp), 0) AS BIGINT)
+                     AS duplicate_docs,
+                   CAST(coalesce((SELECT sum(size * (n - 1)) FROM grp), 0) AS BIGINT)
+                     AS total_wasted_space
+        """,
+        "stream_dedup_digests": """
+            SELECT DISTINCT sha256(text) AS digest FROM documents
         """,
         "exact_dup_members_planted": """
             WITH unioned AS (

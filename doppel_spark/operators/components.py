@@ -14,11 +14,24 @@ bounded by the component diameter, and near-dup clusters are dense
 (LSH buckets emit stars/cliques), so 2–5 rounds dominate in practice.
 
 Scale hygiene:
-* ``localCheckpoint`` every round truncates the lineage — without it
-  the plan doubles per iteration and the driver dies on plan
-  explosion long before data size matters.
-* Convergence test is ``isEmpty()`` on the changed-label frame —
-  a cheap early-exit action per round.
+* Every round is cut through the shared
+  :class:`~doppel_spark.operators.stage.StageMaterializer`'s
+  ``cut_iter`` — the iteration-aware cut. Without any cut the logical
+  plan doubles per round and the driver dies on plan explosion long
+  before data size matters; with a plain data cut (``persist``) the
+  plan STILL doubles and analyzer time explodes (measured: 0.6 → 22.7 s
+  per round on a 9-row chain — see ``cut_iter``'s docstring).
+  ``cut_iter`` picks the truncation that fits the run's scale: small
+  inputs get ``localCheckpoint`` (plan truncated; its stats loss is
+  harmless when everything is tiny), large inputs get per-round scratch
+  parquet tables (plan truncated AND size stats preserved, so the AQE
+  broadcasts in the propagate join survive — the stage.py measurements
+  that ruled localCheckpoint out at scale). Round i−1's table is
+  released the moment round i lands, so scratch usage stays O(1) in
+  the iteration count.
+* Convergence test is an unchanged (count, hash-sum) fingerprint of
+  the labels frame — one cheap agg action per round (labels only ever
+  decrease, so an unchanged fingerprint ⇒ fixed point).
 * Labels are the node keys themselves (min = lexicographic for string
   urls), so the final cluster representative is deterministic and the
   cluster id is ``xxhash64(representative)``.
@@ -28,6 +41,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from doppel_spark.operators.stage import StageMaterializer
 
 
 class ComponentsNotConverged(RuntimeError):
@@ -42,6 +57,7 @@ def connected_components(
     dst: str = "url_b",
     max_iter: int = 25,
     strict: bool = True,
+    mat: StageMaterializer | None = None,
 ) -> DataFrame:
     """Components of the undirected graph given by ``edges``.
 
@@ -49,24 +65,31 @@ def connected_components(
     node appearing in any edge gets a row. Deterministic: the cluster
     representative is the lexicographically smallest member.
 
+    ``mat`` — the caller's pipeline-scoped materializer (the near-dup
+    pipeline passes its own, so CC rounds inherit the size-appropriate
+    strategy picked for the whole run); ad-hoc callers get a one-off
+    size-aware materializer over the edge list.
+
     Convergence needs ~diameter rounds (hash-min propagation); long
     near-dup drift chains can exceed ``max_iter``. Non-convergence
     **raises** :class:`ComponentsNotConverged` by default; with
     ``strict=False`` it warns and returns the partial labels instead.
     """
-    sym = (
+    if mat is None:
+        mat = StageMaterializer.for_input(edges, prefix="cc")
+    sym = mat.cut(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "cc_sym",
     )
     # fused round 1: label(u) = min(u, min(neighbors(u))) straight from
     # the edge list — one aggregation instead of init + propagate
-    labels = (
+    labels = mat.cut_iter(
         sym.groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("label"))
-        .select(F.col("u").alias("node"), "label")
-        .localCheckpoint(eager=True)
+        .select(F.col("u").alias("node"), "label"),
+        "cc_labels0",
     )
 
     def _fingerprint(lab: DataFrame) -> tuple[int, int]:
@@ -79,18 +102,20 @@ def connected_components(
 
     fp = _fingerprint(labels)
     converged = False
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # propagate each node's label to its neighbors, keep the min
         prop = (
             sym.join(labels, sym.v == labels.node)
             .select(sym.u.alias("node"), "label")
         )
-        labels = (
+        new_labels = mat.cut_iter(
             labels.select("node", "label").union(prop)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            f"cc_labels{i + 1}",
         )
+        mat.release(labels)  # round i−1 is dead once round i landed
+        labels = new_labels
         # labels only ever decrease, so an unchanged (count, hash-sum)
         # fingerprint ⇒ converged — one cheap agg action per round
         # instead of a join + isEmpty
@@ -99,6 +124,7 @@ def connected_components(
             converged = True
             break
         fp = new_fp
+    mat.release(sym)
 
     if not converged:
         msg = (f"connected_components: labels still changing after "

@@ -107,7 +107,11 @@ def dup_groups(
 
     ``wasted_space = size × (n_docs − 1)`` (finder.go:127-130). Member
     arrays are sorted (deterministic canonical form; the reference's
-    order is channel-arrival order and non-contractual).
+    order is channel-arrival order and non-contractual). With
+    ``members_cap`` set, a ``members_truncated`` boolean column records
+    every group whose ``urls`` list was sliced (no-silent-caps rule —
+    same accounting discipline as ``lsh_bucket_stats``); the true
+    ``n_docs`` is always kept.
     """
     hashed = survivors.withColumn("digest", full_digest(text_col))
     members = F.sort_array(F.collect_list(id_col))
@@ -130,9 +134,12 @@ def dup_groups(
         gid = F.row_number().over(Window.orderBy("digest")).cast("long")
     else:
         gid = F.xxhash64("digest")
-    return grouped.select(
-        gid.alias("group_id"), "digest", "n_docs", "size", "wasted_space", "urls"
-    )
+    cols = [gid.alias("group_id"), "digest", "n_docs", "size",
+            "wasted_space", "urls"]
+    if members_cap is not None:
+        cols.append((F.col("n_docs") > F.lit(members_cap))
+                    .alias("members_truncated"))
+    return grouped.select(*cols)
 
 
 @dataclass
@@ -145,11 +152,16 @@ class ExactDupResult:
     groups: DataFrame      # stage-3 duplicate groups
 
     def members(self) -> DataFrame:
-        """Flat (group_id, url) membership — order-insensitive compare form."""
-        return self.groups.select(
-            "group_id", "digest", "n_docs", "size", "wasted_space",
-            F.explode("urls").alias("url"),
-        )
+        """Flat (group_id, url) membership — order-insensitive compare form.
+
+        With ``members_cap`` set on the pipeline, the per-group
+        ``members_truncated`` flag rides along so a capped ``urls``
+        slice is never mistaken for the full membership."""
+        cols = ["group_id", "digest", "n_docs", "size", "wasted_space",
+                F.explode("urls").alias("url")]
+        if "members_truncated" in self.groups.columns:
+            cols.append("members_truncated")
+        return self.groups.select(*cols)
 
     def metrics(self) -> DataFrame:
         """One-row stats report ≈ ``model.Stats``

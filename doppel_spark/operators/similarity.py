@@ -124,11 +124,15 @@ def lsh_ann_topk(
     Hamming filter runs. Same output schema as :func:`brute_force_topk`;
     recall < 1 by design.
 
-    ``dim`` avoids a driver round-trip when known; if None it is read
-    from one corpus row at plan-build time.
+    ``dim`` (the embedding width) is required: the hyperplane matrix is
+    a plan literal, and inferring the width from data would cost a
+    driver-side ``.first()`` action at plan-build time — no similarity
+    entry point is allowed a driver action before the plan runs.
     """
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        raise ValueError(
+            "lsh_ann_topk requires dim (embedding width): inferring it "
+            "would run a driver-side .first() at plan build")
     planes = hyperplanes(dim, n_planes, seed)
     base = emb.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(vec_col).alias("vec"))
@@ -158,6 +162,45 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame,
+                floor_micros: int | None = None) -> DataFrame:
+    """Per-query recall@k of an approximate top-k against the exact one.
+
+    Both inputs use the ``brute_force_topk`` schema (query_id,
+    neighbor_id, rank). Output: (query_id, n_true, n_hit,
+    recall_micros) — recall floored to integer micros so the value is
+    float-repr-proof across engines/runs.
+
+    With ``floor_micros`` set the plan embeds ``assert_true
+    (recall_micros ≥ floor)``: any execution of the returned frame
+    RAISES when a query's recall drops below the floor, so the
+    quantitative gate rides inside the query itself (the no-silent-caps
+    rule applied to approximation quality). ``assert_true`` yields NULL
+    on success; filtering on ``isNull()`` keeps every row while forcing
+    the check to evaluate per row.
+    """
+    hits = exact.join(approx.select("query_id", "neighbor_id"),
+                      ["query_id", "neighbor_id"], "left_semi")
+    per_true = exact.groupBy("query_id").agg(F.count("*").alias("n_true"))
+    per_hit = hits.groupBy("query_id").agg(F.count("*").alias("n_hit"))
+    out = (
+        per_true.join(per_hit, "query_id", "left")
+        .select("query_id", "n_true",
+                F.coalesce("n_hit", F.lit(0)).alias("n_hit"))
+        .withColumn("recall_micros",
+                    F.floor(F.col("n_hit") * 1_000_000 / F.col("n_true"))
+                    .cast("long"))
+    )
+    if floor_micros is not None:
+        gate = F.assert_true(
+            F.col("recall_micros") >= F.lit(floor_micros),
+            F.concat(F.lit("ANN recall below floor: query "),
+                     F.col("query_id").cast("string"),
+                     F.lit(f" < {floor_micros} micros")))
+        out = out.filter(gate.isNull())
+    return out
 
 
 def ivf_centroids(emb: DataFrame, n_centroids: int, seed: int = 42,
@@ -325,7 +368,10 @@ def embedding_neardup_pairs(
     from doppel_spark.operators.stage import StageMaterializer
 
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        raise ValueError(
+            "embedding_neardup_pairs (LSH path) requires dim (embedding "
+            "width): inferring it would run a driver-side .first() at "
+            "plan build")
     planes = hyperplanes(dim, bands * rows_per_band, seed)
     keys = sign_band_keys_udf(planes, bands, rows_per_band)
     # Cut BELOW the banding UDF (id + band keys only — the vectors stay

@@ -92,8 +92,11 @@ class StageMaterializer:
         if mode == "table" and not master.startswith("local"):
             shared = spark.conf.get("spark.doppel.scratchDir", None)
             if shared:
-                self._scratch_root = os.path.join(shared,
-                                                  f"{prefix}_{uuid.uuid4().hex[:8]}")
+                # string join, not os.path.join: scratchDir may be a
+                # filesystem URI (hdfs://, s3a://) and os.path.join
+                # mangles those on some inputs
+                self._scratch_root = (shared.rstrip("/") + "/"
+                                      + f"{prefix}_{uuid.uuid4().hex[:8]}")
             else:
                 warnings.warn(
                     "StageMaterializer: non-local master without "
@@ -106,6 +109,9 @@ class StageMaterializer:
         self.prefix = prefix
         self.paths: list[str] = []
         self.cached: list[DataFrame] = []
+        #: id(returned frame) → ("persist", df) | ("table", path); lets
+        #: :meth:`release` free one cut early in iterative pipelines
+        self._frames: dict[int, tuple[str, object]] = {}
 
     @classmethod
     def for_input(cls, df: DataFrame, prefix: str = "stage",
@@ -143,18 +149,89 @@ class StageMaterializer:
             out = df.persist(StorageLevel.MEMORY_AND_DISK)
             out.count()  # force: concurrent consumers must not race
             self.cached.append(out)
+            self._frames[id(out)] = ("persist", out)
         else:
-            path = os.path.join(self._table_root(),
-                                f"{self.prefix}_{name}_{uuid.uuid4().hex[:8]}")
+            path = (self._table_root().rstrip("/") + "/"
+                    + f"{self.prefix}_{name}_{uuid.uuid4().hex[:8]}")
             # compression off: transient local data; codec CPU is the
             # contended resource this path exists to avoid
             df.write.option("compression", "none").parquet(path)
             self.paths.append(path)
             out = self.spark.read.parquet(path)
+            self._frames[id(out)] = ("table", path)
         if os.environ.get("DOPPEL_STAGE_TIMING"):
             print(f"STAGE {name} mode={self.mode} "
                   f"cut_s={time.time() - t0:.2f}", flush=True)
         return out
+
+    def cut_iter(self, df: DataFrame, name: str) -> DataFrame:
+        """Cut for ITERATIVE pipelines — one cut per loop round, where
+        the LOGICAL plan must truncate, not just the data recompute.
+
+        ``persist()`` caches data but leaves the logical plan nested:
+        round i's plan contains two copies of round i−1's plan (the
+        propagate join + the union), so analyzer/optimizer time doubles
+        per round — measured on a 9-node connected-components chain the
+        per-round cut cost went 0.6 → 1.1 → 2.0 → 7.3 → 22.7 s while
+        the data stayed at 9 rows. In persist mode this therefore uses
+        ``localCheckpoint(eager=True)``, which truncates the plan to a
+        ``LogicalRDD``. Its known cost — no size statistics, so AQE
+        auto-broadcasts die downstream (module docstring) — is a
+        SCALE problem, and persist mode only serves small inputs, where
+        every join is cheap regardless. In table mode the scratch
+        parquet write truncates the plan AND keeps stats — the right
+        tradeoff for large inputs, at a ~seconds fixed cost per round.
+        """
+        if self.mode == "persist":
+            t0 = time.time()
+            out = df.localCheckpoint(eager=True)
+            # localCheckpoint blocks live in the block manager until the
+            # RDD is GC'd; there is no clean per-frame free, so release()
+            # treats these as no-ops (same lifetime the pre-materializer
+            # CC code had)
+            self._frames[id(out)] = ("localckpt", out)
+            if os.environ.get("DOPPEL_STAGE_TIMING"):
+                print(f"STAGE {name} mode=localckpt "
+                      f"cut_s={time.time() - t0:.2f}", flush=True)
+            return out
+        return self.cut(df, name)
+
+    def release(self, df: DataFrame) -> None:
+        """Free ONE cut early — for iterative pipelines (connected
+        components) where round i−1's table/cache is dead the moment
+        round i is materialized; holding every round until
+        :meth:`cleanup` would grow scratch space linearly with the
+        iteration count. No-op for frames this materializer does not
+        own. The frame must not be read again afterwards."""
+        kind, val = self._frames.pop(id(df), (None, None))
+        if kind == "persist":
+            val.unpersist()
+            self.cached.remove(val)
+        elif kind == "table":
+            self.paths.remove(val)
+            self._rm_path(val)
+
+    def _rm_path(self, path: str) -> None:
+        """Delete a scratch table wherever it lives. Local paths (no
+        scheme, or file:) go through ``shutil``; URI schemes (hdfs://,
+        s3a://, …) go through the Hadoop FileSystem API — ``shutil``
+        cannot delete remote paths and silently leaked them before."""
+        if "://" not in path or path.startswith("file:"):
+            local = path
+            for pre in ("file://", "file:"):
+                if local.startswith(pre):
+                    local = local[len(pre):]
+                    break
+            shutil.rmtree(local, ignore_errors=True)
+            return
+        try:
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            fs.delete(hpath, True)
+        except Exception as exc:  # noqa: BLE001 — cleanup must not kill the job
+            warnings.warn(f"StageMaterializer: could not delete scratch "
+                          f"table {path}: {exc}", RuntimeWarning, stacklevel=2)
 
     def cleanup(self) -> None:
         """Reclaim caches/tables. Only safe after consumers finish."""
@@ -162,8 +239,9 @@ class StageMaterializer:
             df.unpersist()
         self.cached.clear()
         for p in self.paths:
-            shutil.rmtree(p, ignore_errors=True)
+            self._rm_path(p)
         self.paths.clear()
+        self._frames.clear()
 
 
 def materialize(df: DataFrame, name: str = "stage",

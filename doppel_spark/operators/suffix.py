@@ -98,16 +98,22 @@ def _lcp_pairs(i_arr: np.ndarray, j_arr: np.ndarray,
     return h
 
 
-def lcp_array(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
-    """lcp[i] = LCP(sa[i], sa[i-1]); lcp[0] = 0.
+def lcp_array(s: np.ndarray) -> np.ndarray:
+    """lcp[i] = LCP(sa[i], sa[i-1]) for the suffix array of ``s``;
+    lcp[0] = 0.
 
-    Vectorized via the doubling levels (same asymptotics as Kasai,
-    O(n log n), but numpy ops over all adjacent pairs at once instead
-    of a per-character Python loop)."""
+    Computes the suffix array and the doubling levels internally from
+    ``s`` — the one prefix-doubling pass yields both, so accepting a
+    caller-supplied ``sa`` would only duplicate the construction cost
+    and open an inconsistent-(s, sa) hazard (the LCP query reads ranks
+    derived from ``s``, so a mismatched ``sa`` would silently yield
+    wrong LCPs). Vectorized via the doubling levels: same asymptotics
+    as Kasai, O(n log n), but numpy ops over all adjacent pairs at once
+    instead of a per-character Python loop."""
     n = len(s)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    _, levels = _suffix_array_levels(s)
+    sa, levels = _suffix_array_levels(s)
     lcp = np.zeros(n, dtype=np.int64)
     lcp[1:] = _lcp_pairs(sa[1:], sa[:-1], levels, n)
     return lcp

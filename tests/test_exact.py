@@ -142,3 +142,21 @@ def test_charclass_glob_full_string_match(spark):
     kept = {r[0] for r in df.filter(
         fc.keep_predicate(source_col=None, lang_col=None)).select("url").collect()}
     assert kept == {"zzzax.txt"}
+
+
+def test_members_cap_truncation_flag(spark):
+    # over-cap group carries members_truncated=True; within-cap False —
+    # the no-silent-caps rule applied to member-list slicing
+    rows = [(f"u{i:02d}", "dup") for i in range(10)]
+    rows += [("v0", "pair"), ("v1", "pair")]
+    df = spark.createDataFrame(rows, "url string, text string")
+    res = exact_dup_pipeline(df, size_col=None, members_cap=3)
+    by_n = {r["n_docs"]: r for r in res.groups.collect()}
+    assert by_n[10]["members_truncated"] is True
+    assert by_n[2]["members_truncated"] is False
+    # the flag rides through the flattened members() form too
+    m = res.members().filter("n_docs = 10").collect()
+    assert all(r["members_truncated"] for r in m) and len(m) == 3
+    # without a cap the column does not exist (schema unchanged)
+    res2 = exact_dup_pipeline(df, size_col=None)
+    assert "members_truncated" not in res2.groups.columns

@@ -48,7 +48,8 @@ def test_lsh_ann_recall_reasonable(spark):
     emb = spark.read.parquet(EMB)
     qids = [0, 1, 2, 3, 4]
     exact = brute_force_topk(emb, qids, k=10).toPandas()
-    approx = lsh_ann_topk(emb, qids, k=10, n_planes=8, probe_hamming=3).toPandas()
+    approx = lsh_ann_topk(emb, qids, k=10, n_planes=8, probe_hamming=3,
+                          dim=64).toPandas()
     e = {(r.query_id, r.neighbor_id) for r in exact.itertuples()}
     a = {(r.query_id, r.neighbor_id) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
@@ -68,7 +69,7 @@ def test_embedding_neardup_planted(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     bf = embedding_neardup_pairs(emb, threshold=0.95, brute_force=True).collect()
     assert {(r["id_a"], r["id_b"]) for r in bf} == {(3, 100)}
-    lsh = embedding_neardup_pairs(emb, threshold=0.95).collect()
+    lsh = embedding_neardup_pairs(emb, threshold=0.95, dim=16).collect()
     assert {(r["id_a"], r["id_b"]) for r in lsh} == {(3, 100)}
 
 
@@ -85,7 +86,8 @@ def test_embedding_neardup_banded_recall_and_plan(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     bf = {(r["id_a"], r["id_b"])
           for r in embedding_neardup_pairs(emb, 0.95, brute_force=True).collect()}
-    lsh_df = embedding_neardup_pairs(emb, 0.95, bands=24, rows_per_band=16)
+    lsh_df = embedding_neardup_pairs(emb, 0.95, bands=24, rows_per_band=16,
+                                     dim=32)
     lsh = {(r["id_a"], r["id_b"]) for r in lsh_df.collect()}
     assert len(bf) >= 50
     assert len(lsh & bf) / len(bf) >= 0.95
@@ -99,8 +101,41 @@ def test_lsh_ann_topk_probe_join_plan(spark):
     from doppel_spark.plans.inspect import physical_plan
 
     emb = spark.read.parquet(EMB)
-    df = lsh_ann_topk(emb, [0, 1], k=5, n_planes=8, probe_hamming=2)
+    df = lsh_ann_topk(emb, [0, 1], k=5, n_planes=8, probe_hamming=2, dim=64)
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_topk_recall_values_and_gate(spark):
+    from doppel_spark.operators.similarity import topk_recall
+
+    exact = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (1, 3, 1), (1, 4, 2)],
+        "query_id long, neighbor_id long, rank long")
+    # approx misses neighbor 4 for query 1 → recall 0.5 there
+    approx = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (1, 3, 1), (1, 9, 2)],
+        "query_id long, neighbor_id long, rank long")
+    rows = {r["query_id"]: r for r in topk_recall(approx, exact).collect()}
+    assert rows[0]["recall_micros"] == 1_000_000
+    assert rows[1]["recall_micros"] == 500_000
+    assert rows[1]["n_true"] == 2 and rows[1]["n_hit"] == 1
+    # floor above the worst query ⇒ EXECUTING the gated frame raises —
+    # the assertion lives in the plan, not in driver-side test code
+    gated = topk_recall(approx, exact, floor_micros=900_000)
+    with pytest.raises(Exception, match="recall below floor"):
+        gated.collect()
+    # floor below the worst query ⇒ all rows come through unharmed
+    ok = topk_recall(approx, exact, floor_micros=400_000)
+    assert ok.count() == 2
+
+
+def test_similarity_entry_points_require_dim(spark):
+    # no driver-side .first() probe at plan build: dim is mandatory
+    emb = spark.read.parquet(EMB)
+    with pytest.raises(ValueError, match="requires dim"):
+        lsh_ann_topk(emb, [0], k=5)
+    with pytest.raises(ValueError, match="requires dim"):
+        embedding_neardup_pairs(emb, threshold=0.95)

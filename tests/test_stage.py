@@ -74,3 +74,27 @@ def test_table_mode_threshold_boundary(spark):
     est = plan_size_bytes(df)
     if est is not None and est < SMALL_INPUT_BYTES:
         assert mat.mode == "persist"
+
+
+def test_release_single_cut_persist(spark):
+    mat = StageMaterializer(spark, mode="persist", prefix="t")
+    a = mat.cut(spark.range(100).toDF("id"), "a")
+    b = mat.cut(spark.range(200).toDF("id"), "b")
+    mat.release(a)
+    assert len(mat.cached) == 1  # only b remains owned
+    assert b.count() == 200  # b untouched
+    mat.release(spark.range(5).toDF("id"))  # non-owned frame: no-op
+    mat.cleanup()
+
+
+def test_release_single_cut_table(spark):
+    mat = StageMaterializer(spark, mode="table", prefix="t")
+    a = mat.cut(spark.range(100).toDF("id"), "a")
+    b = mat.cut(spark.range(200).toDF("id"), "b")
+    pa, pb = mat.paths
+    mat.release(a)
+    assert not os.path.exists(pa)  # a's scratch table deleted
+    assert os.path.exists(pb)
+    assert b.count() == 200
+    mat.cleanup()
+    assert not os.path.exists(pb)

@@ -18,7 +18,7 @@ def test_suffix_array_banana():
     s = np.frombuffer(b"banana", dtype=np.uint8).astype(np.int64)
     sa = suffix_array(s).tolist()
     assert sa == [5, 3, 1, 0, 4, 2]  # a, ana, anana, banana, na, nana
-    lcp = lcp_array(s, np.array(sa)).tolist()
+    lcp = lcp_array(s).tolist()
     assert lcp == [0, 1, 3, 0, 0, 2]
 
 
