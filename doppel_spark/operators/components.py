@@ -77,19 +77,25 @@ def connected_components(
     """
     if mat is None:
         mat = StageMaterializer.for_input(edges, prefix="cc")
+    # sym's cache fills inside round 0's fingerprint job (force=False):
+    # CC's consumers are strictly sequential, so the eager count guard
+    # against concurrent cold-cache races buys nothing here and its job
+    # is pure overhead at small scale
     sym = mat.cut(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct(),
-        "cc_sym",
+        "cc_sym", force=False,
     )
     # fused round 1: label(u) = min(u, min(neighbors(u))) straight from
-    # the edge list — one aggregation instead of init + propagate
+    # the edge list — one aggregation instead of init + propagate.
+    # eager=False: the fingerprint action right below materializes the
+    # truncation in the same job — one job per round, not two
     labels = mat.cut_iter(
         sym.groupBy("u")
         .agg(F.least(F.min("v"), F.first("u")).alias("label"))
         .select(F.col("u").alias("node"), "label"),
-        "cc_labels0",
+        "cc_labels0", eager=False,
     )
 
     def _fingerprint(lab: DataFrame) -> tuple[int, int]:
@@ -112,7 +118,7 @@ def connected_components(
             labels.select("node", "label").union(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label")),
-            f"cc_labels{i + 1}",
+            f"cc_labels{i + 1}", eager=False,
         )
         mat.release(labels)  # round i−1 is dead once round i landed
         labels = new_labels
