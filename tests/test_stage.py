@@ -98,3 +98,34 @@ def test_release_single_cut_table(spark):
     assert b.count() == 200
     mat.cleanup()
     assert not os.path.exists(pb)
+
+
+def test_cut_iter_persist_truncates_plan(spark):
+    # iterative persist-mode cuts must keep Catalyst plans O(1): after
+    # a cut the frame's logical plan is a LogicalRDD, not the nested
+    # union/join lineage (whose analysis cost doubles per round)
+    mat = StageMaterializer(spark, mode="persist", prefix="t")
+    df = spark.range(100).toDF("id")
+    for i in range(3):
+        df = mat.cut_iter(df.withColumn("id", F.col("id") + 1), f"r{i}",
+                          eager=False)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan and "Join" not in plan
+    assert df.agg(F.sum("id")).collect()[0][0] == sum(range(3, 103))
+
+
+def test_cut_iter_table_mode_uses_tables(spark):
+    mat = StageMaterializer(spark, mode="table", prefix="t")
+    out = mat.cut_iter(spark.range(50).toDF("id"), "r0", eager=False)
+    assert len(mat.paths) == 1  # table mode ignores eager: real table
+    assert out.count() == 50
+    mat.release(out)
+    assert mat.paths == []
+
+
+def test_cut_force_false_lazy_persist(spark):
+    mat = StageMaterializer(spark, mode="persist", prefix="t")
+    out = mat.cut(spark.range(75).toDF("id"), "s", force=False)
+    assert out.count() == 75  # first consumer fills the cache
+    assert len(mat.cached) == 1
+    mat.cleanup()
