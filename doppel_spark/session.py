@@ -32,6 +32,22 @@ def ship_package(spark: SparkSession) -> None:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(pkg_dir)
+    if not os.path.isdir(root):
+        # The package itself was imported from an archive — the real
+        # ``spark-submit --py-files doppel_spark.zip`` case, where
+        # ``root`` is the zip, not a directory. Re-zipping is both
+        # impossible (``make_archive`` chdirs into ``root_dir``, which
+        # fails on a zip-internal path) and pointless: that archive IS
+        # the distributable payload, and spark-submit has already
+        # shipped it to every executor. Register it for the standalone
+        # zipimport case; tolerate "already added" under spark-submit.
+        if os.path.isfile(root):
+            try:
+                spark.sparkContext.addPyFile(root)
+            except Exception:  # noqa: BLE001 — duplicate registration
+                pass
+        _SHIPPED.add(app_id)
+        return
     zip_base = os.path.join(tempfile.gettempdir(), "doppel_spark_pyfiles")
     zip_path = shutil.make_archive(zip_base, "zip", root_dir=root,
                                    base_dir="doppel_spark")

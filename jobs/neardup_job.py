@@ -134,9 +134,14 @@ def main(argv: list[str] | None = None) -> None:
 
     write_tables(args.output, **tables)
     duration = time.time() - t0
+    import doppel_spark
     summary = {
         "duration_s": round(duration, 3),
         "mode": cfg.mode,
+        # where the package was imported from — under spark-submit
+        # --py-files this is the zip (the deployment contract the
+        # spark-submit e2e test asserts)
+        "package_origin": getattr(doppel_spark, "__file__", None) or "",
         "tables": {k: f"{args.output}/{k}" for k in tables},
         "stats": {k: (int(v) if isinstance(v, int) else v)
                   for k, v in report_stats.items()},
