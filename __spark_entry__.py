@@ -72,6 +72,17 @@ EMB_DIM = 64
 #: appended to planted n-gram-Jaccard copies: 10 fresh tokens ⇒ a known
 #: non-trivial Jaccard against the original (same tokenization both engines)
 NGRAM_EDIT_SUFFIX = " qq ww ee rr tt yy uu ii oo pp"
+#: planted-substring construction (mirrored literally in the oracle):
+#: SUB_N_PAIRS composite pairs, payload lengths SUB_MIN_LEN + i*SUB_LEN_STEP,
+#: hosts truncated to SUB_HOST_LEN (< SUB_MIN_LEN so host-host runs can
+#: never reach the output threshold). Payload blocks are 14 chars
+#: ('«%03d.xxxxxxxx»'); '«'/'»' never occur in the testdata corpus
+#: (probed at every SF), so payload↔host common runs are ≤ 12 chars.
+SUB_N_PAIRS = 12
+SUB_HOST_LEN = 200
+SUB_MIN_LEN = 256
+SUB_LEN_STEP = 17
+SUB_BLOCK_REPS = 40  # 40 × 14-char blocks = 560 ≥ max payload 443
 FILTER_PRESET = FilterConfig(
     exclude_source_globs=("src1*",),
     min_size=100,
@@ -426,6 +437,66 @@ def _q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_pairs(docs, min_len=200)
 
 
+def _q_substring_pairs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact longest-common-substring — the suffix-array verification
+    quantity of ``substring_dup_pairs`` — over planted composites whose
+    true LCS is pinned by construction, converting the substring tier
+    from rows-only to value-checked (round-3 pattern: like
+    ``ngram_jaccard_planted`` did for the Jaccard tier).
+
+    The DuckDB oracle rebuilds the identical composites, *verifies* the
+    payload is a common substring of both members (``position(...)``),
+    and states ``length(payload)``; a hash match therefore proves the
+    generalized-suffix-array LCP machinery (suffix.py:122-139) returns
+    the exact maximum on SUB_N_PAIRS pairs with distinct lengths.
+
+    Why the LCS is exactly ``len(payload_i)`` by construction:
+
+    - member texts are ``host || mc || payload || mc`` with mc ∈
+      {'a','b'} differing between the two members — the differing
+      flanks stop any within-pair common run from extending past the
+      payload, and ``'a«'``/``'»a'`` never occur in the b-member (and
+      vice versa), so no run can straddle a payload boundary;
+    - hosts are SUB_HOST_LEN chars (< payload length), so host-host
+      runs can't exceed the payload; payload blocks embed '«'/'»'
+      (absent from the corpus) every 14 chars, capping payload↔host
+      runs at 12 chars;
+    - cross-pair: hosts are distinct-text docs truncated below
+      min_len, and payload blocks differ in the zero-padded pair index
+      every 14 chars, so no cross-pair output row can appear (extra
+      rows would fail the row-count compare — false positives are
+      caught too).
+
+    Recall is guaranteed, not probabilistic: min_len = 256 ≥ winnowing
+    window + k − 1 = 127 (fingerprint.py guarantee), so every planted
+    pair MUST be found — a missed pair fails the compare.
+    """
+    ship_package(spark)
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull() & (F.length("text") >= SUB_HOST_LEN))
+    sel = (docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+           .select("doc_id").orderBy("doc_id").limit(2 * SUB_N_PAIRS)
+           .withColumn("rk",
+                       F.row_number().over(Window.orderBy("doc_id")) - 1))
+    comp = (sel.join(docs.select("doc_id", "text"), "doc_id")
+            .select(F.expr("rk div 2").alias("i"),
+                    F.when(F.col("rk") % 2 == 0, "a").otherwise("b")
+                    .alias("mc"),
+                    F.substring("text", 1, SUB_HOST_LEN).alias("host")))
+    payload = F.expr(
+        f"substring(repeat(concat('«', lpad(cast(i as string), 3, '0'), "
+        f"'.xxxxxxxx»'), {SUB_BLOCK_REPS}), 1, "
+        f"{SUB_MIN_LEN} + {SUB_LEN_STEP} * i)")
+    composites = comp.select(
+        F.concat(F.lit("sub:"), F.lpad(F.col("i").cast("string"), 3, "0"),
+                 F.lit(":"), F.col("mc")).alias("url"),
+        F.concat(F.col("host"), F.col("mc"), payload, F.col("mc"))
+        .alias("text"))
+    return substring_dup_pairs(composites, min_len=SUB_MIN_LEN)
+
+
 def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     fp = fingerprint_udf()
@@ -591,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_clusters": _q_minhash_lsh_clusters,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "substring_pairs": _q_substring_pairs,
+        "substring_pairs_planted": _q_substring_pairs_planted,
         "doc_fingerprints": _q_doc_fingerprints,
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
@@ -694,6 +766,44 @@ def _ngram_jaccard_sql() -> str:
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
            CAST(floor({jac} * 1000000) AS BIGINT) AS jaccard_micros
     FROM sh
+    """
+
+
+def _substring_planted_sql() -> str:
+    """Rebuilds ``_q_substring_pairs_planted``'s composites literally and
+    emits the construction-pinned LCS, verifying payload containment in
+    both members so the stated value is a checked common-substring
+    length, not an asserted constant (maximality argument in the query
+    docstring)."""
+    return f"""
+    WITH uniq AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      WHERE text IS NOT NULL AND length(text) >= {SUB_HOST_LEN}
+      GROUP BY text
+    ), sel AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+      FROM uniq ORDER BY doc_id LIMIT {2 * SUB_N_PAIRS}
+    ), comp AS (
+      SELECT s.rk // 2 AS i,
+             CASE WHEN s.rk % 2 = 0 THEN 'a' ELSE 'b' END AS mc,
+             substr(d.text, 1, {SUB_HOST_LEN}) AS host
+      FROM sel s JOIN documents d USING (doc_id)
+    ), built AS (
+      SELECT i, mc, host,
+             substr(repeat('«' || lpad(CAST(i AS VARCHAR), 3, '0')
+                           || '.xxxxxxxx»', {SUB_BLOCK_REPS}),
+                    1, {SUB_MIN_LEN} + {SUB_LEN_STEP} * i) AS payload
+      FROM comp
+    ), texts AS (
+      SELECT 'sub:' || lpad(CAST(i AS VARCHAR), 3, '0') || ':' || mc AS url,
+             host || mc || payload || mc AS text, i, mc, payload
+      FROM built
+    )
+    SELECT a.url AS url_a, b.url AS url_b,
+           CAST(length(a.payload) AS BIGINT) AS lcs_len
+    FROM texts a JOIN texts b ON a.i = b.i AND a.mc = 'a' AND b.mc = 'b'
+    WHERE position(a.payload IN a.text) > 0
+      AND position(a.payload IN b.text) > 0
     """
 
 
@@ -940,8 +1050,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard_planted": _ngram_jaccard_sql(),
+        "substring_pairs_planted": _substring_planted_sql(),
         # minhash_lsh_clusters / simhash_fingerprints / simhash_near_pairs /
         # substring_pairs / doc_fingerprints / ann_topk_lsh / ann_topk_ivf /
         # emb_neardup_lsh: hash-function-defined or approximate-by-design
-        # → rows-only checks.
+        # → rows-only checks (substring_pairs' verification quantity is
+        # value-checked via substring_pairs_planted).
     }
