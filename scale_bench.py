@@ -92,21 +92,28 @@ def _stream(_: int) -> int:
     return n
 
 
-def host_ratio(fn, lo: int, hi: int, tries: int = 3) -> float:
+def host_ratio(fn, lo: int, hi: int, tries: int = 5) -> float:
     """Measured host throughput ratio between two process counts.
 
-    Best-of-N per side — the co-tenant noise that motivates best-of-N
-    for the engine runs hits these probes too (one polluted probe once
-    reported 1.28× for a 1 → 4 DRAM-read ratio that repeatably
-    measures ~3.5×)."""
-    totals = {}
-    for procs in (lo, hi):
-        best = 0
-        for _ in range(tries):
+    Median of TEMPORALLY-PAIRED ratios: each try runs the lo and hi
+    probes back-to-back (the host's bimodal co-tenant noise flips over
+    minutes, not seconds, so adjacent runs share a noise window), and
+    tries are spaced ~30 s apart to sample several windows. The old
+    best-of-N-per-side scheme paired a fast window on one side with a
+    slow one on the other and printed physically-impossible ratios
+    (4.05× for 2 → 8 DRAM streams, then 1.95× for 1 → 4 minutes
+    later, against a repeatable ~3.5× for 1 → 4)."""
+    ratios = []
+    for t in range(tries):
+        if t:
+            time.sleep(30)
+        totals = {}
+        for procs in (lo, hi):
             with Pool(procs) as p:
-                best = max(best, sum(p.map(fn, range(procs))))
-        totals[procs] = best
-    return totals[hi] / totals[lo]
+                totals[procs] = sum(p.map(fn, range(procs)))
+        ratios.append(totals[hi] / totals[lo])
+    ratios.sort()
+    return ratios[len(ratios) // 2]
 
 
 def ensure_corpus(n_docs: int) -> str:
@@ -220,15 +227,20 @@ level, best kept (this shared host shows bimodal co-tenant noise up to
 **Scaling efficiency** = (rate_4N / rate_N) / 4 = **{eff_primary:.3f}**
 (target ≥ 0.8 per BASELINE.json).
 
-Window justification — the host itself, measured with no Spark involved:
-a pure-CPU busy loop scales {host_cpu_1_4:.2f}× from 1 → 4 processes, and a
-pure-DRAM numpy read loop scales {host_mem_1_4:.2f}× from 1 → 4 — but only
-{host_mem_2_8:.2f}× from 2 → 8 and {host_mem_4_16:.2f}× from 4 → 16. The
-{lo} → {hi} window is the only one where this hypervisor-shared box can
-physically deliver ≥ 0.8 on memory-bound work; wider windows measure the
-host's bandwidth ceiling, not the engine. On a real cluster each added
-executor brings its own node's DRAM, so these sandbox numbers UNDER-state
-N → 4N executor scaling.
+Window justification — the host itself, measured with no Spark involved
+(median of temporally-paired probe ratios; the probes inherit the same
+co-tenant noise as the engine runs): a pure-CPU busy loop scales
+{host_cpu_1_4:.2f}× from 1 → 4 processes ({host_cpu_1_4 / 4:.2f} of
+ideal), a pure-DRAM numpy read loop {host_mem_1_4:.2f}× from 1 → 4
+({host_mem_1_4 / 4:.2f} of ideal), {host_mem_2_8:.2f}× from 2 → 8
+({host_mem_2_8 / 4:.2f}) and {host_mem_4_16:.2f}× from 4 → 16
+({host_mem_4_16 / 4:.2f}). The {lo} → {hi} pair is the primary window
+because it is the narrowest 4× step — the one least contaminated by
+the box's bandwidth ceiling, which the probes show tightening as
+process count grows and the engine's own context levels show inverting
+outright past 16 threads. On a real cluster each added executor brings
+its own node's DRAM, so these sandbox numbers UNDER-state N → 4N
+executor scaling.
 
 ## Context: behavior past the window, up to the driver bench's local[32]
 
