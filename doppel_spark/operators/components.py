@@ -77,15 +77,18 @@ def connected_components(
     """
     if mat is None:
         mat = StageMaterializer.for_input(edges, prefix="cc")
-    # sym's cache fills inside round 0's fingerprint job (force=False):
-    # CC's consumers are strictly sequential, so the eager count guard
-    # against concurrent cold-cache races buys nothing here and its job
-    # is pure overhead at small scale
-    sym = mat.cut(
+    # sym joins into EVERY round's plan, so its cut must truncate the
+    # LOGICAL plan (cut_iter), not just cache the data: a persist-only
+    # cut leaves sym's full upstream lineage (the entire near-dup
+    # pipeline when called from there) nested inside each round's plan,
+    # and every round's toRdd re-analyzes/re-optimizes it — measured
+    # +1.4–1.7 s of pure driver planning per round on a cold JVM, the
+    # round-4 bench regression (BENCH/NOTES_r4.md)
+    sym = mat.cut_iter(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct(),
-        "cc_sym", force=False,
+        "cc_sym",
     )
     # fused round 1: label(u) = min(u, min(neighbors(u))) straight from
     # the edge list — one aggregation instead of init + propagate.
