@@ -1,0 +1,73 @@
+"""The batch signature kernel must be value-identical to the per-doc
+spec (min over ``shingle_hashes(text, k) >> 32`` of ``const·h`` mod
+2³²) — the kernel is pure optimization, never semantics."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from doppel_spark.functions.minhash import (  # noqa: E402
+    _batch_sig_matrix,
+    _BufPool,
+    perm_constants,
+    shingle_hashes,
+)
+
+NUM_PERM, K = 128, 5
+CONSTS = perm_constants(NUM_PERM, seed=42)
+
+
+def _spec_sigs(texts: pd.Series) -> np.ndarray:
+    """Reference implementation straight from the per-doc spec."""
+    out = np.empty((len(texts), NUM_PERM), dtype=np.int32)
+    with np.errstate(over="ignore"):
+        for row, t in enumerate(texts.fillna("")):
+            h = (shingle_hashes(t, K) >> np.uint64(32)).astype(np.uint32)
+            out[row] = (CONSTS[:, None] * h[None, :]).min(axis=1).astype(np.int32)
+    return out
+
+
+def _batch(texts: pd.Series, **kw) -> np.ndarray:
+    return _batch_sig_matrix(texts, _BufPool(), CONSTS, NUM_PERM, K, **kw)
+
+
+def test_edge_cases_match_spec():
+    texts = pd.Series([
+        "",                       # empty → single 0-hash shingle
+        "   \t\n  ",              # whitespace-only → empty token set
+        "one",                    # 1 token < k
+        "a b c d",                # k-1 tokens
+        "a b c d e",              # exactly k tokens → 1 window
+        "a b c d e f g",          # a few windows
+        "tok " * 500,             # repetitive: duplicate shingles
+        "naïve café über — emoji 🙂 mixed 字符 test ok done",  # multibyte
+        None,                     # null → '' semantics
+        "x" * 20000,              # one giant token
+        ("w%d " % 7) + " ".join(f"w{i}" for i in range(300)),
+    ], dtype=object)
+    assert np.array_equal(_batch(texts), _spec_sigs(texts))
+
+
+def test_corpus_and_batch_invariance():
+    texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["text"]).column("text").to_pandas()
+    ref = _spec_sigs(texts)
+    assert np.array_equal(_batch(texts), ref)
+    # splitting the batch must not change values (doc independence)
+    halves = np.vstack([_batch(texts[:17].reset_index(drop=True)),
+                        _batch(texts[17:].reset_index(drop=True))])
+    assert np.array_equal(halves, ref)
+    # tiny segment cap forces many multi-segment paths incl. single-doc
+    # segments larger than the cap
+    assert np.array_equal(_batch(texts, seg_shingles=64), ref)
+
+
+def test_empty_batch():
+    assert _batch(pd.Series([], dtype=object)).shape == (0, NUM_PERM)
