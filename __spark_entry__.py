@@ -83,6 +83,15 @@ SUB_HOST_LEN = 200
 SUB_MIN_LEN = 256
 SUB_LEN_STEP = 17
 SUB_BLOCK_REPS = 40  # 40 × 14-char blocks = 560 ≥ max payload 443
+#: planted-cluster construction for the MinHash/LSH/CC and SimHash
+#: tiers (mirrored literally in the oracles). Token stems are
+#: ``md5(text)`` of the first distinct document texts — grounded in the
+#: table yet whitespace-free, so tokenization is identical everywhere.
+PLANT_TOKENS = 12          # tokens per base sequence (≥ shingle_k = 5)
+MHP_GROUPS = 15            # planted LSH cluster count
+MHP_SINGLETONS = 10        # planted must-NOT-cluster docs
+SHP_PAIRS = 20             # planted SimHash rotation pairs
+
 FILTER_PRESET = FilterConfig(
     exclude_source_globs=("src1*",),
     min_size=100,
@@ -616,6 +625,105 @@ def _q_ngram_jaccard_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("jaccard_micros"))
 
 
+def _plant_stems(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """(rk, stem) for the first ``n`` distinct document texts: rk is a
+    dense 0-based rank over min-doc_id order, stem = ``md5(text)`` — a
+    whitespace-free 32-hex token base that DuckDB reproduces exactly
+    (both engines order by the same distinct-min doc_ids)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    return (
+        docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        .orderBy("doc_id").limit(n)
+        .withColumn("rk", F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .select("rk", F.md5("text").alias("stem"))
+    )
+
+
+#: base token sequence for a stem: "{stem}w0 {stem}w1 … {stem}w11".
+#: Every token embeds the stem, so shingle/token sets of different
+#: groups are fully disjoint — zero cross-group MinHash agreement and
+#: independent SimHash fingerprints by construction.
+_PLANT_BASE_SQL = (
+    f"concat_ws(' ', transform(sequence(0, {PLANT_TOKENS - 1}), "
+    f"j -> concat(stem, 'w', j)))"
+)
+
+
+def _q_minhash_clusters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH→verify→connected-components pipeline over a
+    corpus whose cluster assignments are pinned by MATH, not by hash
+    luck — converting the flagship near-dup tier from rows-only to a
+    value-checked oracle row.
+
+    Construction: group i's three members are the SAME 12-token base
+    sequence repeated m = 2/3/4 times. For a base of n ≥ k tokens, the
+    k-shingle set of the m-fold repetition is the n cyclic windows —
+    IDENTICAL for every m ≥ 2 (any window in T^m starts within the
+    first cycle and fits inside T², and vice versa) — while the byte
+    strings differ in length, so the exact-dedup pre-pass keeps all
+    three. Identical shingle sets ⇒ identical signatures ⇒ identical
+    band hashes ⇒ guaranteed candidate pairs at agreement 1.0 ⇒ one
+    cluster with rep = lexicographic-min url ('mh:%02d:2'). Tokens
+    embed the per-group stem, so cross-group shingle sets are DISJOINT
+    — a spurious merge would need a full 4-row band-hash collision
+    (asserted impossible at the fixed seed by this very compare, since
+    it would add/merge output rows). Ten singleton docs with their own
+    stems must NOT appear (clusters only contains paired docs — an
+    accidental singleton pair would surface as extra rows).
+
+    The analogous guarantee in the reference is hash-blind too: byte-
+    equal files land in one group whatever digest is used
+    (/root/reference/internal/finder/finder.go:114-143); here the
+    invariant is shingle-set equality instead of byte equality.
+    """
+    ship_package(spark)
+    sel = _plant_stems(spark, sf_dir, MHP_GROUPS + MHP_SINGLETONS)
+    groups = (
+        sel.filter(F.col("rk") < MHP_GROUPS)
+        .select("rk", F.expr(_PLANT_BASE_SQL).alias("base"),
+                F.explode(F.array(F.lit(2), F.lit(3), F.lit(4))).alias("m"))
+        .select(F.format_string("mh:%02d:%d", "rk", "m").alias("url"),
+                F.expr("repeat(concat(base, ' '), m)").alias("text"))
+    )
+    singles = sel.filter(F.col("rk") >= MHP_GROUPS).select(
+        F.format_string("s:%02d", "rk").alias("url"),
+        F.expr(_PLANT_BASE_SQL).alias("text"))
+    res = near_dup_pipeline(groups.union(singles), NearDupConfig())
+    return res.clusters.select("url", "cluster_rep")
+
+
+def _q_simhash_pairs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pigeonhole pairs over rotation-planted docs whose
+    Hamming distance is pinned at exactly 0 by math: a SimHash is a
+    count-weighted bag-of-tokens statistic (order-independent), so a
+    doc and its token-ROTATION have identical fingerprints while
+    differing bytewise. Every planted pair must therefore surface
+    (identical fingerprints share all pigeonhole blocks) with
+    hamming = 0 — the verification quantity itself is value-checked.
+    Cross-pair fingerprints use disjoint stem-salted token sets; a
+    spurious row would require two independent 64-bit fingerprints
+    within Hamming 3 (P ≈ 2⁻⁴⁸, deterministic at the fixed pandas
+    hash key — this compare wires the absence in as an assertion).
+    """
+    ship_package(spark)
+    from doppel_spark.functions.simhash import simhash_near_pairs
+
+    sel = _plant_stems(spark, sf_dir, SHP_PAIRS)
+    rot = _PLANT_BASE_SQL.replace(
+        "concat(stem, 'w', j)",
+        f"concat(stem, 'w', pmod(j + 1, {PLANT_TOKENS}))")
+    a = sel.select(F.format_string("sh:%02d:a", "rk").alias("url"),
+                   F.expr(_PLANT_BASE_SQL).alias("text"))
+    b = sel.select(F.format_string("sh:%02d:b", "rk").alias("url"),
+                   F.expr(rot).alias("text"))
+    fps = a.union(b).select(
+        "url", simhash_udf()(F.col("text")).alias("simhash"))
+    return simhash_near_pairs(fps, id_col="url", hamming_t=3).select(
+        "url_a", "url_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pigeonhole guarantee under test: a planted 1-token-edited copy of
     # each first-20 doc must pair with its original (Hamming ≤ t after a
@@ -669,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup_lsh": _q_emb_neardup_lsh,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "ngram_jaccard_planted": _q_ngram_jaccard_planted,
+        "minhash_clusters_planted": _q_minhash_clusters_planted,
+        "simhash_pairs_planted": _q_simhash_pairs_planted,
     }
 
 
@@ -1051,6 +1161,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_planted": _ngram_jaccard_sql(),
         "substring_pairs_planted": _substring_planted_sql(),
+        # the planted LSH/SimHash outputs are content-independent given
+        # ≥ MHP_GROUPS+MHP_SINGLETONS distinct texts (see the query
+        # docstrings for the repetition/rotation math); the oracles
+        # still derive the group count from the same distinct-text
+        # selection so both sides shrink consistently on tiny tables
+        "minhash_clusters_planted": f"""
+            WITH sel AS (
+                SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rk
+                FROM (SELECT min(doc_id) AS doc_id
+                      FROM documents WHERE text IS NOT NULL
+                      GROUP BY text ORDER BY doc_id
+                      LIMIT {MHP_GROUPS + MHP_SINGLETONS})
+            ), m(m) AS (VALUES (2), (3), (4))
+            SELECT printf('mh:%02d:%d', rk, m) AS url,
+                   printf('mh:%02d:2', rk) AS cluster_rep
+            FROM sel CROSS JOIN m
+            WHERE rk < {MHP_GROUPS}
+        """,
+        "simhash_pairs_planted": f"""
+            WITH sel AS (
+                SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rk
+                FROM (SELECT min(doc_id) AS doc_id
+                      FROM documents WHERE text IS NOT NULL
+                      GROUP BY text ORDER BY doc_id LIMIT {SHP_PAIRS})
+            )
+            SELECT printf('sh:%02d:a', rk) AS url_a,
+                   printf('sh:%02d:b', rk) AS url_b,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM sel
+        """,
         # minhash_lsh_clusters / simhash_fingerprints / simhash_near_pairs /
         # substring_pairs / doc_fingerprints / ann_topk_lsh / ann_topk_ivf /
         # emb_neardup_lsh: hash-function-defined or approximate-by-design

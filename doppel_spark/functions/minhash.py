@@ -190,6 +190,28 @@ class _BufPool:
         return a[:n]
 
 
+def _as_string_array(texts):
+    """pandas Series OR pyarrow Array → a null-free ``pa.StringArray``.
+
+    The pyarrow branch is the ``mapInArrow`` fast path: Spark's Arrow
+    batch is used AS IS — no per-row Python string materialization (the
+    pandas conversion allocates a PyUnicode per document, which round-4
+    profiling showed dominates the signature stage's worker time).
+    """
+    import pyarrow as pa
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        arr = texts
+        if pa.types.is_large_string(arr.type):
+            arr = arr.cast(pa.string())
+        if arr.null_count:
+            arr = pa.compute.fill_null(arr, "")
+        return arr
+    return pa.array(texts.fillna(""), type=pa.string())
+
+
 def _batch_sig_matrix(texts, pool: _BufPool, consts: np.ndarray,
                       num_perm: int, k: int,
                       seg_shingles: int = 1 << 16,
@@ -214,12 +236,10 @@ def _batch_sig_matrix(texts, pool: _BufPool, consts: np.ndarray,
     hundred documents. Measured: 3.0× on 1.5 KB crawl-shaped docs,
     4.6× on ~300-char docs, identical outputs.
     """
-    import pyarrow as pa
-
     n_docs = len(texts)
     if n_docs == 0:
         return np.empty((0, num_perm), dtype=np.int32)
-    arr = pa.array(texts.fillna(""), type=pa.string())
+    arr = _as_string_array(texts)
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
         arr.offset : arr.offset + n_docs + 1]
     data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
@@ -386,6 +406,32 @@ def band_hashes(sig_matrix: np.ndarray, bands: int, rows_per_band: int) -> np.nd
         for j in range(rows_per_band):
             acc = splitmix64(acc ^ resh[:, :, j])
     return (acc >> np.uint64(1)).astype(np.int64)
+
+
+def sig_bands_arrow_columns(texts, pool: _BufPool, consts: np.ndarray,
+                            num_perm: int, k: int, bands: int):
+    """texts (pa.Array or pd.Series) → (signature ``list<int32>``,
+    band_hashes ``list<int64>``) pyarrow columns.
+
+    The return path is O(1) Python objects per BATCH: both list columns
+    are assembled directly from the kernel's contiguous numpy output
+    (values buffer + arange offsets) — no per-row Python lists, which
+    the pandas-UDF return path pays for every document. Values are
+    identical to :func:`minhash_sig_bands_udf` (same kernel).
+    """
+    import pyarrow as pa
+
+    sigs = _batch_sig_matrix(texts, pool, consts, num_perm, k)
+    n = len(sigs)
+    bh = (band_hashes(sigs, bands, num_perm // bands) if n
+          else np.empty((0, bands), np.int64))
+    sig_col = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)),
+        pa.array(sigs.reshape(-1)))
+    band_col = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, (n + 1) * bands, bands, dtype=np.int32)),
+        pa.array(bh.reshape(-1)))
+    return sig_col, band_col
 
 
 def minhash_sig_bands_udf(num_perm: int = 128, k: int = 5, seed: int = 42,

@@ -57,6 +57,57 @@ def with_signature(df: DataFrame, cfg: NearDupConfig, text_col: str = "text") ->
     )
 
 
+def signature_stage(df: DataFrame, cfg: NearDupConfig, id_col: str = "url",
+                    text_col: str = "text") -> DataFrame:
+    """(id, signature array<int>, band_hashes array<long>) via
+    ``mapInArrow`` — the flagship's signature stage with zero
+    pandas/Python-object traffic in EITHER direction.
+
+    Round-4 profiling showed the stage is bound by the Arrow worker
+    round trip, not the (already whole-batch-vectorized) kernel: the
+    pandas-UDF path materializes a PyUnicode per document on the way in
+    (Arrow → pd.Series of str) and a Python list per document on the
+    way back. Here the kernel reads Spark's Arrow string buffer AS IS
+    (minhash._as_string_array) and the return lists are assembled O(1)
+    per batch from the kernel's contiguous numpy output
+    (minhash.sig_bands_arrow_columns). Values are byte-identical to
+    :func:`with_signature` (same kernel; asserted in tests).
+
+    Only (id, text) pass through the worker; callers needing more
+    columns join on ``id_col`` afterwards (or use
+    :func:`with_signature`, which appends in place).
+    """
+    from pyspark.sql import types as T
+
+    from doppel_spark.functions.minhash import (
+        _BufPool,
+        perm_constants,
+        sig_bands_arrow_columns,
+    )
+
+    consts = perm_constants(cfg.num_perm, cfg.seed)
+    num_perm, k, bands = cfg.num_perm, cfg.shingle_k, cfg.bands
+    in_df = df.select(F.col(id_col), F.col(text_col))
+    out_schema = T.StructType([
+        in_df.schema[id_col],
+        T.StructField("signature", T.ArrayType(T.IntegerType())),
+        T.StructField("band_hashes", T.ArrayType(T.LongType())),
+    ])
+
+    def gen(batches):
+        import pyarrow as pa
+
+        pool = _BufPool()
+        for batch in batches:
+            sig_col, band_col = sig_bands_arrow_columns(
+                batch.column(1), pool, consts, num_perm, k, bands)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), sig_col, band_col],
+                names=[id_col, "signature", "band_hashes"])
+
+    return in_df.mapInArrow(gen, out_schema)
+
+
 def band_keys(sig_df: DataFrame, cfg: NearDupConfig, id_col: str = "url") -> DataFrame:
     """Explode per-doc band hashes into (id, band_hash) bucket keys.
 

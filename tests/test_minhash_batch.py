@@ -71,3 +71,39 @@ def test_corpus_and_batch_invariance():
 
 def test_empty_batch():
     assert _batch(pd.Series([], dtype=object)).shape == (0, NUM_PERM)
+
+
+def test_arrow_input_path_matches_pandas():
+    # the mapInArrow stage feeds the kernel raw pyarrow arrays — values
+    # must match the pandas path on edge cases, slices, and large_string
+    import pyarrow as pa
+
+    texts = pd.Series(["", None, "one", "a b c d e f g", "tok " * 50,
+                       "naïve café 🙂 字符", "x" * 9000], dtype=object)
+    ref = _batch(texts)
+    arr = pa.array(list(texts), type=pa.string())
+    assert np.array_equal(
+        _batch_sig_matrix(arr, _BufPool(), CONSTS, NUM_PERM, K), ref)
+    assert np.array_equal(
+        _batch_sig_matrix(arr.cast(pa.large_string()), _BufPool(),
+                          CONSTS, NUM_PERM, K), ref)
+    assert np.array_equal(
+        _batch_sig_matrix(arr.slice(2, 4), _BufPool(), CONSTS, NUM_PERM, K),
+        ref[2:6])
+
+
+def test_signature_stage_matches_with_signature(spark):
+    # the mapInArrow flagship stage and the pandas-UDF column appender
+    # must be value-identical end to end (same kernel, two transports)
+    from doppel_spark.config import NearDupConfig
+    from doppel_spark.operators.lsh import signature_stage, with_signature
+
+    cfg = NearDupConfig()
+    rows = [(f"u{i:03d}", t) for i, t in enumerate(
+        ["hello world this is a doc " * 10, "", "one", None,
+         "a b c d e f g h i j", "tok " * 300, "naïve café 🙂 字符 ok"])]
+    df = spark.createDataFrame(rows, "url string, text string")
+    a = sorted(with_signature(df, cfg)
+               .select("url", "signature", "band_hashes").collect())
+    b = sorted(signature_stage(df, cfg).collect())
+    assert a == b
