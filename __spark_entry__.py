@@ -170,6 +170,8 @@ def _q_stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``SELECT DISTINCT sha256(text)``. Which doc_id of a duplicate pair
     survives is micro-batch-order-dependent, so the contract output is
     the (deterministic) surviving digest SET, not the row ids."""
+    import atexit
+    import shutil
     import tempfile
 
     from doppel_spark.streaming.incremental import incremental_exact_dedup_stream
@@ -183,6 +185,9 @@ def _q_stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_ts",
         F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id") % 60))
     tmp = tempfile.mkdtemp(prefix="doppel_stream_")
+    # the returned frame lazily reads {tmp}/out, so removal must wait
+    # until the driver has consumed it — reclaim at interpreter exit
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     both.write.parquet(f"{tmp}/in")
     stream = spark.readStream.schema(both.schema).parquet(f"{tmp}/in")
     dedup = incremental_exact_dedup_stream(stream, ts_col="warc_ts",

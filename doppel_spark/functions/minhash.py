@@ -243,8 +243,15 @@ def _batch_sig_matrix(texts, pool: _BufPool, consts: np.ndarray,
     offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
         arr.offset : arr.offset + n_docs + 1]
     data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    # A sliced array's offsets start at the slice's first data byte, not
+    # at 0 — rebase both views so every span index below is relative to
+    # the slice (ADVICE r4: without this, bytes of sliced-off rows became
+    # phantom tokens and shifted every start/end index).
+    base = int(offs[0])
+    if base:
+        offs = offs - base
     N = int(offs[-1])
-    d = data[:N]
+    d = data[base : base + N]
     with np.errstate(over="ignore"):
         # token spans: whitespace split with forced breaks at doc edges
         is_tok = pool.get("is_tok", N, bool)

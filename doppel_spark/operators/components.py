@@ -77,6 +77,16 @@ def connected_components(
     """
     if mat is None:
         mat = StageMaterializer.for_input(edges, prefix="cc")
+        # Ad-hoc path: nothing outside this function can reach the
+        # one-off materializer, so in table mode the final round's
+        # scratch parquet (which BACKS the returned labels frame — it
+        # must not be deleted here) would otherwise outlive the process
+        # even under a remote spark.doppel.scratchDir (ADVICE r4).
+        # Register its cleanup at interpreter exit; callers wanting
+        # earlier reclamation pass their own pipeline-scoped `mat`.
+        import atexit
+
+        atexit.register(mat.cleanup)
     # sym joins into EVERY round's plan, so its cut must truncate the
     # LOGICAL plan (cut_iter), not just cache the data: a persist-only
     # cut leaves sym's full upstream lineage (the entire near-dup
@@ -101,13 +111,18 @@ def connected_components(
         "cc_labels0", eager=False,
     )
 
-    def _fingerprint(lab: DataFrame) -> tuple[int, int]:
+    def _fingerprint(lab: DataFrame) -> tuple[int, int, int]:
         row = lab.agg(
             F.count("*").alias("n"),
             # decimal sum: exact and overflow-free under ANSI mode
             F.sum(F.xxhash64("node", "label").cast("decimal(38,0)")).alias("h"),
+            # second, independent statistic (reversed column order ⇒ an
+            # unrelated hash function of the same pair): a silent early
+            # stop now requires an exact sum collision in BOTH streams
+            # simultaneously (~2⁻¹²⁸), not one (~2⁻⁶⁴) — ADVICE r4
+            F.sum(F.xxhash64("label", "node").cast("decimal(38,0)")).alias("h2"),
         ).collect()[0]
-        return int(row["n"]), int(row["h"] or 0)
+        return int(row["n"]), int(row["h"] or 0), int(row["h2"] or 0)
 
     fp = _fingerprint(labels)
     converged = False
@@ -140,6 +155,9 @@ def connected_components(
                f"{max_iter} rounds (component diameter > max_iter); "
                f"returned clusters would be silently split")
         if strict:
+            # the partial labels are dead — nothing is returned, so the
+            # last round's scratch table must not wait for cleanup()
+            mat.release(labels)
             raise ComponentsNotConverged(msg)
         import warnings
 

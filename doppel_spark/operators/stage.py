@@ -166,7 +166,11 @@ class StageMaterializer:
             df.write.option("compression", "none").parquet(path)
             self.paths.append(path)
             out = self.spark.read.parquet(path)
-            self._frames[id(out)] = ("table", path)
+            # the tuple keeps a strong reference to `out`: id() keys are
+            # only unique while the object lives, and a GC'd frame's id
+            # could be reused by an unrelated object, making release()
+            # delete a live scratch table (ADVICE r4)
+            self._frames[id(out)] = ("table", path, out)
         if os.environ.get("DOPPEL_STAGE_TIMING"):
             print(f"STAGE {name} mode={self.mode} "
                   f"cut_s={time.time() - t0:.2f}", flush=True)
@@ -220,7 +224,10 @@ class StageMaterializer:
         :meth:`cleanup` would grow scratch space linearly with the
         iteration count. No-op for frames this materializer does not
         own. The frame must not be read again afterwards."""
-        kind, val = self._frames.pop(id(df), (None, None))
+        entry = self._frames.pop(id(df), None)
+        if entry is None:
+            return
+        kind, val = entry[0], entry[1]
         if kind == "persist":
             val.unpersist()
             self.cached.remove(val)

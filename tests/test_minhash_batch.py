@@ -90,6 +90,18 @@ def test_arrow_input_path_matches_pandas():
     assert np.array_equal(
         _batch_sig_matrix(arr.slice(2, 4), _BufPool(), CONSTS, NUM_PERM, K),
         ref[2:6])
+    # slices whose skipped prefix contains NON-EMPTY rows (offs[0] > 0):
+    # the ADVICE-r4 bug tokenized the sliced-off bytes as phantom tokens
+    # (row 2 'one' does not end in whitespace — the worst case)
+    assert np.array_equal(
+        _batch_sig_matrix(arr.slice(3, 4), _BufPool(), CONSTS, NUM_PERM, K),
+        ref[3:7])
+    assert np.array_equal(
+        _batch_sig_matrix(arr.slice(5, 2), _BufPool(), CONSTS, NUM_PERM, K),
+        ref[5:7])
+    assert np.array_equal(
+        _batch_sig_matrix(arr.slice(6, 1), _BufPool(), CONSTS, NUM_PERM, K),
+        ref[6:7])
 
 
 def test_signature_stage_matches_with_signature(spark):

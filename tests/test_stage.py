@@ -100,6 +100,18 @@ def test_release_single_cut_table(spark):
     assert not os.path.exists(pb)
 
 
+def test_table_entry_pins_frame(spark):
+    # the table-mode ownership entry must hold a strong reference to the
+    # returned frame: id() keys are only unique while the object lives,
+    # and a reused id would let release() delete a live unrelated
+    # frame's scratch table (ADVICE r4)
+    mat = StageMaterializer(spark, mode="table", prefix="t")
+    out = mat.cut(spark.range(10).toDF("id"), "a")
+    entry = mat._frames[id(out)]
+    assert entry[0] == "table" and entry[2] is out
+    mat.cleanup()
+
+
 def test_cut_iter_persist_truncates_plan(spark):
     # iterative persist-mode cuts must keep Catalyst plans O(1): after
     # a cut the frame's logical plan is a LogicalRDD, not the nested
