@@ -845,13 +845,13 @@ def _shingles_sql(text_expr: str, k: int) -> str:
     distinct k-word shingles joined by single spaces; < k tokens → the
     distinct token set; no tokens → [''].
 
-    Tokenization parity is ASCII-whitespace-only: the Spark side uses
-    Python ``str.split()`` (any Unicode whitespace) while this oracle's
-    ``string_split_regex '\\s+'`` matches ASCII whitespace. Identical on
-    the all-ASCII testdata; a corpus containing NBSP/Unicode whitespace
-    would need both sides normalized first (ADVICE r3)."""
-    toks = (f"list_filter(string_split_regex(trim({text_expr}), '\\s+'), "
-            "x -> x <> '')")
+    Tokenization parity is exact on ANY corpus: both sides split on the
+    same explicit six-byte ASCII-whitespace class (the kernel's
+    ``_WS_BYTES`` LUT == ``minhash.ascii_ws_tokens`` == this regex class
+    — RE2's ``\\s`` omits ``\\x0B``, so the class is spelled out);
+    NBSP/ideographic/thin spaces are token bytes everywhere."""
+    toks = (f"list_filter(string_split_regex({text_expr}, "
+            "'[ \\t\\n\\x0B\\x0C\\r]+'), x -> x <> '')")
     return (
         f"CASE WHEN len({toks}) >= {k} THEN "
         f"list_distinct(list_transform(range(len({toks}) - {k - 1}), "

@@ -41,6 +41,8 @@ the SimHash fallback is a recall supplement, not a crutch.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -84,10 +86,26 @@ _POLY_BASE = np.uint64(0x9E3779B97F4A7C15)
 
 
 
+#: the ASCII-whitespace class EVERY tokenization path splits on — the
+#: same six byte values as the kernel's ``_WS_BYTES`` LUT. Python's
+#: ``str.split()`` (Unicode-aware) would additionally split on NBSP /
+#: ideographic / thin spaces and silently diverge from the byte-level
+#: kernel on such corpora; pinning the spec to the kernel's class closes
+#: that fork (ADVICE r3 / verdict r4 task 4 — parity asserted in tests
+#: on non-ASCII-whitespace text).
+_WS_RE = re.compile("[\t\n\x0b\x0c\r ]+")
+
+
+def ascii_ws_tokens(text: str) -> list[str]:
+    """Tokens of ``text`` under the engine-wide ASCII-whitespace split
+    (identical results to the kernel's byte LUT on any input)."""
+    return [t for t in _WS_RE.split(text) if t]
+
+
 def shingle_set(text: str, k: int) -> list[str]:
     """k-word shingles as strings (audit/test path; the signature UDF
     works on hashes directly). < k tokens → token set; empty → ['']."""
-    toks = text.split()
+    toks = ascii_ws_tokens(text)
     if len(toks) >= k:
         return list({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
     if toks:
@@ -99,8 +117,10 @@ def shingle_set(text: str, k: int) -> list[str]:
 _TOKEN_BASE = np.uint64(1099511628211)
 _TOKEN_BASE_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
 
-#: ASCII whitespace byte values (the fast tokenizer splits on these;
-#: exotic Unicode whitespace is not a separator on this path)
+#: ASCII whitespace byte values — the engine-wide separator class
+#: (matches ``_WS_RE`` above; exotic Unicode whitespace is a token byte
+#: everywhere, including the DuckDB oracles, which use the same explicit
+#: class)
 _WS_BYTES = (9, 10, 11, 12, 13, 32)
 _TOK_LUT = np.ones(256, dtype=bool)
 _TOK_LUT[list(_WS_BYTES)] = False

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from doppel_spark.functions.minhash import ascii_ws_tokens
+
 SIMHASH_BITS = 64
 
 
@@ -31,7 +33,8 @@ _BIT_WEIGHTS = np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)
 def simhash_udf(ngram: int = 1):
     """pandas UDF: text → int64 SimHash over token (or token-n-gram) features.
 
-    Per doc: tokenize (``str.split``), dedupe with counts
+    Per doc: tokenize (ASCII-whitespace split, the engine-wide class),
+    dedupe with counts
     (``np.unique`` — web text is stopword-heavy, so this typically
     shrinks the hash/bit work several-fold), hash the unique features
     (pandas SipHash, C), expand hash bits with ``unpackbits`` (uint8 —
@@ -54,7 +57,9 @@ def simhash_udf(ngram: int = 1):
         ones = np.zeros((n, SIMHASH_BITS), dtype=np.int64)
         totals = np.zeros(n, dtype=np.int64)
         for i, t in enumerate(texts):
-            toks = (t or "").split()
+            # engine-wide ASCII-whitespace split (same class as the
+            # MinHash kernel/spec — Unicode whitespace is a token byte)
+            toks = ascii_ws_tokens(t or "")
             if ngram > 1 and len(toks) >= ngram:
                 toks = [" ".join(toks[j : j + ngram])
                         for j in range(len(toks) - ngram + 1)]

@@ -73,6 +73,40 @@ def test_empty_batch():
     assert _batch(pd.Series([], dtype=object)).shape == (0, NUM_PERM)
 
 
+def test_unicode_whitespace_kernel_spec_parity():
+    """NBSP / ideographic / thin spaces are TOKEN bytes, not separators,
+    in the per-doc spec, the string-level shingle audit path, AND the
+    batch kernel (the fork ADVICE r3 flagged: ``str.split()`` treated
+    them as separators while the byte LUT did not)."""
+    from doppel_spark.functions.minhash import (
+        ascii_ws_tokens,
+        shingle_set,
+        token_hashes,
+    )
+
+    texts = pd.Series([
+        "a b c d e f",                      # NBSP inside a token
+        "x　y " * 10,                        # ideographic space
+        "thin space here now ok fine",      # thin space
+        " 　",                          # ONLY exotic ws → 1 token
+        "mixed   real spaces 　 here",  # exotic ws as tokens
+        "plain ascii control case one two",
+    ], dtype=object)
+    # batch kernel == per-doc hash spec on non-ASCII whitespace
+    assert np.array_equal(_batch(texts), _spec_sigs(texts))
+    for t in texts:
+        toks = ascii_ws_tokens(t)
+        # hash spec and string spec tokenize identically
+        assert token_hashes(t).size == len(toks)
+        # shingle counts agree between the string audit path and the
+        # hash path (unique k-grams; tiny sets ⇒ no hash collisions)
+        from doppel_spark.functions.minhash import shingle_hashes
+        assert shingle_hashes(t, K).size == len(shingle_set(t, K))
+    # the fork this pins: NBSP must NOT separate ("a b" is one token)
+    assert ascii_ws_tokens("a b") == ["a b"]
+    assert ascii_ws_tokens(" a\tb\nc\x0bd\x0ce\rf ") == list("abcdef")
+
+
 def test_arrow_input_path_matches_pandas():
     # the mapInArrow stage feeds the kernel raw pyarrow arrays — values
     # must match the pandas path on edge cases, slices, and large_string
