@@ -91,6 +91,13 @@ PLANT_TOKENS = 12          # tokens per base sequence (≥ shingle_k = 5)
 MHP_GROUPS = 15            # planted LSH cluster count
 MHP_SINGLETONS = 10        # planted must-NOT-cluster docs
 SHP_PAIRS = 20             # planted SimHash rotation pairs
+#: skew-stats planting: one hot group of HOT_MEMBERS docs sharing a
+#: shingle set (m-fold repetitions of one base, m = 2..HOT_MEMBERS+1) —
+#: all HOT_MEMBERS land in the same LSH bucket in every band; HOT_CAP
+#: is the bucket_cap variant under which that bucket must be counted
+#: as capped (star pairing), with the skipped-pair arithmetic pinned
+HOT_MEMBERS = 40
+HOT_CAP = 32
 
 FILTER_PRESET = FilterConfig(
     exclude_source_globs=("src1*",),
@@ -729,6 +736,117 @@ def _q_simhash_pairs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_a", "url_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _q_neardup_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH skew accounting surfaced as a contract row (round-4 verdict
+    task 6 — the no-silent-caps rule was pytest-visible only): the full
+    ``lsh_bucket_stats`` histogram, including ``capped_buckets`` and
+    ``pairs_skipped_by_cap``, over a corpus whose bucket structure is
+    pinned by the repetition math of ``minhash_clusters_planted``.
+
+    Corpus: MHP_GROUPS triple groups + MHP_SINGLETONS singletons (the
+    planted-cluster construction) + ONE hot group of HOT_MEMBERS docs
+    sharing a shingle set (m-fold repetitions, m = 2..HOT_MEMBERS+1 —
+    identical k-shingle sets for every m ≥ 2, so all HOT_MEMBERS
+    members collide in all ``bands`` LSH buckets). Stats are reported
+    at two caps: the default (hot bucket under cap → capped_buckets =
+    0) and HOT_CAP < HOT_MEMBERS (every one of the hot group's
+    ``bands`` buckets capped; pairs_skipped = bands × (C(H,2) − (H−1)),
+    the star-pairing arithmetic of lsh.py:pairs_from_membership).
+    Cross-group band-hash collisions would merge buckets and change the
+    counts — their absence at the fixed seed is wired into the compare,
+    exactly like the planted-cluster twin.
+    """
+    ship_package(spark)
+    from doppel_spark.operators.lsh import (band_keys, lsh_bucket_stats,
+                                            signature_stage)
+
+    cfg = NearDupConfig()
+    sel = _plant_stems(spark, sf_dir, MHP_GROUPS + MHP_SINGLETONS + 1)
+    groups = (
+        sel.filter(F.col("rk") < MHP_GROUPS)
+        .select("rk", F.expr(_PLANT_BASE_SQL).alias("base"),
+                F.explode(F.array(F.lit(2), F.lit(3), F.lit(4))).alias("m"))
+        .select(F.format_string("mh:%02d:%d", "rk", "m").alias("url"),
+                F.expr("repeat(concat(base, ' '), m)").alias("text"))
+    )
+    singles = sel.filter(
+        (F.col("rk") >= MHP_GROUPS) & (F.col("rk") < MHP_GROUPS + MHP_SINGLETONS)
+    ).select(F.format_string("s:%02d", "rk").alias("url"),
+             F.expr(_PLANT_BASE_SQL).alias("text"))
+    hot = (
+        sel.filter(F.col("rk") == MHP_GROUPS + MHP_SINGLETONS)
+        .select(F.expr(_PLANT_BASE_SQL).alias("base"),
+                F.explode(F.sequence(F.lit(2), F.lit(HOT_MEMBERS + 1))).alias("m"))
+        .select(F.format_string("hot:%03d", "m").alias("url"),
+                F.expr("repeat(concat(base, ' '), m)").alias("text"))
+    )
+    corpus = groups.union(singles).union(hot)
+    exploded = band_keys(signature_stage(corpus, cfg), cfg, id_col="url")
+
+    def stats(cap: int) -> DataFrame:
+        return lsh_bucket_stats(exploded, ["band_hash"], bucket_cap=cap) \
+            .withColumn("cap", F.lit(cap).cast("long"))
+
+    return stats(cfg.bucket_cap).union(stats(HOT_CAP)).select(
+        "cap", "buckets", "colliding_buckets", "max_bucket",
+        "capped_buckets", "pairs_skipped_by_cap")
+
+
+def _q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract-visible checkpoint/resume (round-4 verdict task 3 —
+    resumability was the only BASELINE gate with no contract row).
+
+    Runs the checkpointed exact-dedup runner end to end over the
+    documents table ∪ a re-keyed duplicate copy, then simulates the
+    crash window the store is designed for — killed between stage 3's
+    data write and its manifest publish (``invalidate`` removes exactly
+    the manifest) — and re-invokes the runner on the same checkpoint
+    root from a FRESH store, as a restarted driver would. Stages 1-2
+    must resume as published-manifest reads: their manifests are
+    compared byte-for-byte before/after the resume and the query raises
+    if either was rewritten (a recompute republishes with a new
+    duration). The returned frame is the resumed run's duplicate-group
+    membership; the oracle is the same computation straight through
+    (``exact_dup_members_planted``'s SQL) — a hash match proves
+    resume-idempotency: the resumed output equals the never-crashed one.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from doppel_spark.checkpoint import (CheckpointStore,
+                                         run_exact_dedup_checkpointed)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    planted = docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+                          "text", "n_chars")
+    pages = docs.union(planted)
+    root = tempfile.mkdtemp(prefix="doppel_ckpt_")
+    # the returned frame lazily reads {root}/s3_dup_groups — reclaim at
+    # interpreter exit, after the driver has consumed it
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+    store = CheckpointStore(spark, root, run_config="exact_resume_v1")
+    run_exact_dedup_checkpointed(store, pages, id_col="doc_id",
+                                 size_col="n_chars", sequential_ids=True)
+    # crash between stage-3 data write and manifest publish
+    store.invalidate("s3_dup_groups")
+    stages12 = ("s1_length_candidates", "s2_quick_candidates")
+    pre = {s: store.manifest(s) for s in stages12}
+
+    resumed = CheckpointStore(spark, root, run_config="exact_resume_v1")
+    res = run_exact_dedup_checkpointed(resumed, pages, id_col="doc_id",
+                                       size_col="n_chars",
+                                       sequential_ids=True)
+    post = {s: resumed.manifest(s) for s in stages12}
+    if post != pre:
+        raise AssertionError(
+            "resume recomputed a published stage (manifest rewritten)")
+    return res["groups"].select(
+        "group_id", "digest", "n_docs", "size", "wasted_space",
+        F.explode("urls").alias("doc_id"))
+
+
 def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pigeonhole guarantee under test: a planted 1-token-edited copy of
     # each first-20 doc must pair with its original (Hamming ≤ t after a
@@ -784,6 +902,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_planted": _q_ngram_jaccard_planted,
         "minhash_clusters_planted": _q_minhash_clusters_planted,
         "simhash_pairs_planted": _q_simhash_pairs_planted,
+        "neardup_skew_stats": _q_neardup_skew_stats,
+        "checkpoint_resume": _q_checkpoint_resume,
     }
 
 
@@ -922,6 +1042,75 @@ def _substring_planted_sql() -> str:
     """
 
 
+#: duplicate-group membership over documents ∪ re-keyed copy — shared by
+#: `exact_dup_members_planted` (the straight-through funnel) and
+#: `checkpoint_resume` (the same funnel crash-resumed from checkpoint):
+#: one computation, two execution disciplines, one contract answer.
+_MEMBERS_PLANTED_SQL = """
+    WITH unioned AS (
+      SELECT doc_id, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, n_chars FROM documents
+    ), g AS (
+      SELECT sha256(text) AS digest, CAST(count(*) AS BIGINT) AS n_docs,
+             min(n_chars) AS size
+      FROM unioned GROUP BY 1 HAVING count(*) > 1
+    ), gid AS (
+      SELECT row_number() OVER (ORDER BY digest) AS group_id, digest,
+             n_docs, size,
+             CAST(size * (n_docs - 1) AS BIGINT) AS wasted_space
+      FROM g
+    )
+    SELECT gid.group_id, gid.digest, gid.n_docs, gid.size,
+           gid.wasted_space, d.doc_id
+    FROM gid JOIN unioned d ON sha256(d.text) = gid.digest
+"""
+
+_NDCFG = NearDupConfig()
+
+
+def _skew_stats_sql() -> str:
+    """Construction-pinned bucket histogram (see _q_neardup_skew_stats):
+    counts derive from the same distinct-text selection as the Spark
+    side, so both shrink consistently on tiny tables; the per-cap rows
+    state the repetition-math expectations (identical shingle sets ⇒
+    identical band hashes ⇒ group-sized buckets in every band)."""
+    b = _NDCFG.bands
+    h = HOT_MEMBERS
+    star_skip = h * (h - 1) // 2 - (h - 1)
+    return f"""
+        WITH sel AS (
+            SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rk
+            FROM (SELECT min(doc_id) AS doc_id
+                  FROM documents WHERE text IS NOT NULL
+                  GROUP BY text ORDER BY doc_id
+                  LIMIT {MHP_GROUPS + MHP_SINGLETONS + 1})
+        ), c AS (
+            SELECT count(*) FILTER (WHERE rk < {MHP_GROUPS}) AS n_grp,
+                   count(*) FILTER (WHERE rk >= {MHP_GROUPS}
+                                    AND rk < {MHP_GROUPS + MHP_SINGLETONS})
+                     AS n_single,
+                   count(*) FILTER (WHERE rk = {MHP_GROUPS + MHP_SINGLETONS})
+                     AS n_hot
+            FROM sel
+        ), caps(cap) AS (VALUES ({_NDCFG.bucket_cap}), ({HOT_CAP}))
+        SELECT CAST(cap AS BIGINT) AS cap,
+               CAST({b} * (n_grp + n_single + n_hot) AS BIGINT) AS buckets,
+               CAST({b} * (n_grp + n_hot) AS BIGINT) AS colliding_buckets,
+               CAST(CASE WHEN n_hot > 0 THEN {h}
+                         WHEN n_grp > 0 THEN 3
+                         WHEN n_single > 0 THEN 1 END AS BIGINT) AS max_bucket,
+               CAST(CASE WHEN {h} > cap THEN {b} * n_hot ELSE 0 END
+                    + CASE WHEN 3 > cap THEN {b} * n_grp ELSE 0 END
+                 AS BIGINT) AS capped_buckets,
+               CAST(CASE WHEN {h} > cap THEN {b} * n_hot * {star_skip}
+                         ELSE 0 END
+                    + CASE WHEN 3 > cap THEN {b} * n_grp * 1 ELSE 0 END
+                 AS BIGINT) AS pairs_skipped_by_cap
+        FROM c CROSS JOIN caps
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     return {
@@ -988,25 +1177,11 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_digests": """
             SELECT DISTINCT sha256(text) AS digest FROM documents
         """,
-        "exact_dup_members_planted": """
-            WITH unioned AS (
-              SELECT doc_id, text, n_chars FROM documents
-              UNION ALL
-              SELECT doc_id + 1000000, text, n_chars FROM documents
-            ), g AS (
-              SELECT sha256(text) AS digest, CAST(count(*) AS BIGINT) AS n_docs,
-                     min(n_chars) AS size
-              FROM unioned GROUP BY 1 HAVING count(*) > 1
-            ), gid AS (
-              SELECT row_number() OVER (ORDER BY digest) AS group_id, digest,
-                     n_docs, size,
-                     CAST(size * (n_docs - 1) AS BIGINT) AS wasted_space
-              FROM g
-            )
-            SELECT gid.group_id, gid.digest, gid.n_docs, gid.size,
-                   gid.wasted_space, d.doc_id
-            FROM gid JOIN unioned d ON sha256(d.text) = gid.digest
-        """,
+        "exact_dup_members_planted": _MEMBERS_PLANTED_SQL,
+        # resume-idempotency: the crash-resumed checkpointed runner must
+        # produce exactly the straight-through answer
+        "checkpoint_resume": _MEMBERS_PLANTED_SQL,
+        "neardup_skew_stats": _skew_stats_sql(),
         "quick_digest_buckets_planted": f"""
             WITH seeds AS (SELECT doc_id FROM documents WHERE doc_id < 20),
             planted AS (

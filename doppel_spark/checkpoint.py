@@ -130,6 +130,7 @@ class CheckpointStore:
 def run_exact_dedup_checkpointed(
     store: CheckpointStore, pages: DataFrame,
     id_col: str = "url", text_col: str = "text", size_col: str | None = None,
+    sequential_ids: bool = False,
 ) -> dict[str, DataFrame]:
     """The exact-dup pipeline with a checkpoint after every stage.
 
@@ -154,7 +155,8 @@ def run_exact_dedup_checkpointed(
     )
     groups = store.run(
         "s3_dup_groups",
-        lambda: dup_groups(survivors, text_col=text_col, id_col=id_col),
+        lambda: dup_groups(survivors, text_col=text_col, id_col=id_col,
+                           sequential_ids=sequential_ids),
     )
     return {"candidates": candidates, "survivors": survivors, "groups": groups}
 
