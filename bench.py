@@ -6,11 +6,25 @@ Times the headline queries from ``__spark_entry__`` at
 a deterministic synthetic pages corpus (the target workload shape —
 sf-dir document tables are too small to exercise the shuffle paths).
 
+Noise protocol (round-4 verdict task 1): the host shows bimodal
+co-tenant noise up to 2× (BENCH/BASELINE.md), so a single-shot number
+cannot distinguish a regression from a slow host window. Every query
+runs ``$SPARK_GRAFT_BENCH_REPEATS`` (default 3) times, **interleaved**
+(sweep all queries, then sweep again — so a noise mode hits all queries
+of a sweep equally instead of one query's only sample); the headline
+``queries`` map reports per-query best-of, and ALL raw times are
+disclosed in ``queries_raw``. Between sweeps the Spark cache is cleared
+and the flagship's materializer is released — Spark's cache manager
+matches identical analyzed plans, so without this, repeats 2+ would
+measure cache hits, not the engine. Flagship pair/cluster counts are
+asserted identical across repeats (determinism canary).
+
 Each query executes fully via the noop sink (no collect, no driver
 materialization). Output:
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...}, "sf": ..., "docs_per_sec": ..., ...}
+    {"metric": "...", "value": <sum of per-query bests>, "unit": "sec",
+     "queries": {...}, "queries_raw": {...}, "sf": ...,
+     "docs_per_sec": ..., ...}
 """
 
 from __future__ import annotations
@@ -48,6 +62,7 @@ HEADLINE = [
 ]
 
 FLAGSHIP_DOCS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_DOCS", "20000"))
+REPEATS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
 
 
 def _execute(df) -> None:
@@ -58,7 +73,9 @@ def flagship_neardup(spark, n_docs: int) -> dict:
     """Near-dup clustering over the synthetic pages corpus, timed.
 
     The corpus parquet is generated once per size (partition count fixed
-    so the input bytes are identical across parallelism levels).
+    so the input bytes are identical across parallelism levels). The
+    run's materialized stages are released afterwards so a repeat
+    measures a fresh pipeline, not the previous run's caches.
     """
     from doppel_spark.config import NearDupConfig
     from doppel_spark.corpus import synth_pages
@@ -74,6 +91,7 @@ def flagship_neardup(spark, n_docs: int) -> dict:
     n_pairs = res.pairs.count()
     n_clusters = res.clusters.select("cluster_rep").distinct().count()
     dt = time.time() - t0
+    res.cleanup()  # outside the timed region; enables honest repeats
     return {"sec": round(dt, 3), "docs": n_docs, "pairs": n_pairs,
             "clusters": n_clusters, "docs_per_sec": round(n_docs / dt, 1)}
 
@@ -91,15 +109,26 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        _execute(qs[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    raw: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    raw["flagship_neardup"] = []
+    flag_best: dict | None = None
+    flag_outputs = set()
+    for _rep in range(REPEATS):
+        for name in HEADLINE:
+            t0 = time.time()
+            _execute(qs[name](spark, sf_dir))
+            raw[name].append(round(time.time() - t0, 3))
+        flag = flagship_neardup(spark, FLAGSHIP_DOCS)
+        raw["flagship_neardup"].append(flag["sec"])
+        flag_outputs.add((flag["pairs"], flag["clusters"]))
+        if flag_best is None or flag["sec"] < flag_best["sec"]:
+            flag_best = flag
+        # identical analyzed plans re-hit Spark's cache manager across
+        # sweeps — drop everything so repeat N measures the engine
+        spark.catalog.clearCache()
+    assert len(flag_outputs) == 1, f"flagship nondeterminism: {flag_outputs}"
 
-    flag = flagship_neardup(spark, FLAGSHIP_DOCS)
-    timings["flagship_neardup"] = flag["sec"]
-
+    timings = {name: min(ts) for name, ts in raw.items()}
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -107,11 +136,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_raw": raw,
+        "repeats": REPEATS,
+        "policy": "interleaved sweeps, per-query best-of, all raws disclosed",
         "sf": sf,
         "cpus": cpus,
         "sf_docs": n_docs,
-        "flagship": flag,
-        "docs_per_sec": flag["docs_per_sec"],
+        "flagship": {**flag_best, "raw_sec": raw["flagship_neardup"]},
+        "docs_per_sec": flag_best["docs_per_sec"],
     }))
 
 
