@@ -178,8 +178,8 @@ def run_neardup_checkpointed(
     from doppel_spark.functions.digests import full_digest
     from doppel_spark.operators.components import connected_components
     from doppel_spark.operators.lsh import (band_keys, bucket_membership,
-                                            pairs_from_membership, verify_pairs,
-                                            with_signature)
+                                            pairs_from_membership,
+                                            signature_stage, verify_pairs)
 
     cfg = cfg or NearDupConfig()
     base = pages.select(F.col(id_col), F.col(text_col))
@@ -197,8 +197,7 @@ def run_neardup_checkpointed(
         id_col, "left_semi")
     sigs = store.run(
         "n1_signatures",
-        lambda: with_signature(reps, cfg, text_col=text_col)
-        .select(id_col, "signature", "band_hashes"),
+        lambda: signature_stage(reps, cfg, id_col=id_col, text_col=text_col),
     )
     memb = store.run(
         "n2_membership",

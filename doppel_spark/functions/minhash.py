@@ -435,16 +435,47 @@ def band_hashes(sig_matrix: np.ndarray, bands: int, rows_per_band: int) -> np.nd
     return (acc >> np.uint64(1)).astype(np.int64)
 
 
+#: packed-signature layout: ``num_perm`` little-endian int32 values per
+#: row (4·num_perm bytes), row-major — the ONE representation every
+#: producer emits and every consumer (JVM agreement, audits, tests)
+#: reads. Chosen over ``array<int>`` because the Arrow return path of
+#: the signature stage was the measured bottleneck at 3.6M docs
+#: (BENCH/NOTES_r4.md): a binary cell crosses the worker pipe, the JVM's
+#: Arrow→UnsafeRow conversion, the sigs scratch table, and the verify
+#: join as ONE contiguous span instead of 128 typed elements.
+SIG_BYTES_PER_PERM = 4
+
+
+def unpack_signature(buf: bytes | bytearray) -> np.ndarray:
+    """Packed signature cell → int32 vector (audit/test path)."""
+    return np.frombuffer(bytes(buf), dtype="<i4")
+
+
+def _packed_sig_arrow(sigs: np.ndarray, num_perm: int):
+    """(n, num_perm) int32 matrix → pyarrow ``binary`` column, O(1)
+    allocations per batch (offsets from one arange; the data buffer IS
+    the kernel's output, zero-copy)."""
+    import pyarrow as pa
+
+    n = len(sigs)
+    w = num_perm * SIG_BYTES_PER_PERM
+    offs = pa.array(np.arange(0, (n + 1) * w, w, dtype=np.int32))
+    return pa.Array.from_buffers(
+        pa.binary(), n, [None, offs.buffers()[1],
+                         pa.py_buffer(np.ascontiguousarray(sigs))])
+
+
 def sig_bands_arrow_columns(texts, pool: _BufPool, consts: np.ndarray,
                             num_perm: int, k: int, bands: int):
-    """texts (pa.Array or pd.Series) → (signature ``list<int32>``,
-    band_hashes ``list<int64>``) pyarrow columns.
+    """texts (pa.Array or pd.Series) → (signature ``binary`` packed
+    int32-LE, band_hashes ``list<int64>``) pyarrow columns.
 
-    The return path is O(1) Python objects per BATCH: both list columns
-    are assembled directly from the kernel's contiguous numpy output
-    (values buffer + arange offsets) — no per-row Python lists, which
-    the pandas-UDF return path pays for every document. Values are
-    identical to :func:`minhash_sig_bands_udf` (same kernel).
+    The return path is O(1) Python objects per BATCH: the signature
+    column is the kernel's contiguous numpy output reinterpreted as one
+    Arrow binary buffer, the band column its numpy output + arange
+    offsets — no per-row Python objects, which the pandas-UDF return
+    path pays for every document. Values are identical to
+    :func:`minhash_sig_bands_udf` (same kernel, same packing).
     """
     import pyarrow as pa
 
@@ -452,70 +483,85 @@ def sig_bands_arrow_columns(texts, pool: _BufPool, consts: np.ndarray,
     n = len(sigs)
     bh = (band_hashes(sigs, bands, num_perm // bands) if n
           else np.empty((0, bands), np.int64))
-    sig_col = pa.ListArray.from_arrays(
-        pa.array(np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)),
-        pa.array(sigs.reshape(-1)))
     band_col = pa.ListArray.from_arrays(
         pa.array(np.arange(0, (n + 1) * bands, bands, dtype=np.int32)),
         pa.array(bh.reshape(-1)))
-    return sig_col, band_col
+    return _packed_sig_arrow(sigs, num_perm), band_col
 
 
 def minhash_sig_bands_udf(num_perm: int = 128, k: int = 5, seed: int = 42,
                           bands: int = 32):
-    """pandas UDF: text → struct(signature array<int>, bands array<long>).
+    """pandas UDF: text → struct(signature binary, bands array<long>).
 
     One shingle pass computes BOTH the MinHash signature and its LSH
     band-bucket hashes; downstream banding is then a plain (codegen'd)
     ``explode`` of the bands column — no interpreted HOF in the hot path.
 
-    Signatures are 32-bit end to end (see :func:`perm_constants`):
-    half the bytes through the multiply/min kernel, the Arrow return
-    batches, the signature scratch table, and the verification joins —
-    all of which are memory-bandwidth-bound before they are CPU-bound.
+    Signatures are 32-bit, binary-packed end to end (see
+    :data:`SIG_BYTES_PER_PERM` and :func:`perm_constants`): half the
+    bytes through the multiply/min kernel, and ONE contiguous cell —
+    not 128 typed elements — through the Arrow return batches, the
+    signature scratch table, and the verification joins, all of which
+    are memory-bandwidth-bound before they are CPU-bound. The return
+    here still pays one Python bytes object per document; the
+    ``mapInArrow`` stage (lsh.signature_stage) is the zero-per-row
+    transport the flagship uses.
     """
     consts = perm_constants(num_perm, seed)
     r = num_perm // bands
+    w = num_perm * SIG_BYTES_PER_PERM
     pool = _BufPool()  # per-worker after cloudpickle deserialization
 
     @F.pandas_udf(T.StructType([
-        T.StructField("signature", T.ArrayType(T.IntegerType())),
+        T.StructField("signature", T.BinaryType()),
         T.StructField("bands", T.ArrayType(T.LongType())),
     ]))
     def sig_bands(texts: pd.Series) -> pd.DataFrame:
         sigs = _batch_sig_matrix(texts, pool, consts, num_perm, k)
         bh = (band_hashes(sigs, bands, r) if len(sigs)
               else np.empty((0, bands), np.int64))
-        return pd.DataFrame({"signature": list(sigs), "bands": list(bh)})
+        flat = np.ascontiguousarray(sigs).tobytes()
+        return pd.DataFrame({
+            "signature": [flat[i * w:(i + 1) * w] for i in range(len(sigs))],
+            "bands": list(bh)})
 
     return sig_bands
 
 
 def minhash_signature_udf(num_perm: int = 128, k: int = 5, seed: int = 42):
-    """pandas UDF: text → array<int> signature of length ``num_perm``
-    (32-bit permutation family, identical values to the combined
+    """pandas UDF: text → binary signature of ``num_perm`` packed
+    int32-LE values (identical packing to the combined
     signature+bands UDF)."""
     consts = perm_constants(num_perm, seed)
+    w = num_perm * SIG_BYTES_PER_PERM
     pool = _BufPool()  # per-worker after cloudpickle deserialization
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    @F.pandas_udf(T.BinaryType())
     def minhash(texts: pd.Series) -> pd.Series:
         sigs = _batch_sig_matrix(texts, pool, consts, num_perm, k)
-        return pd.Series(list(sigs))
+        flat = np.ascontiguousarray(sigs).tobytes()
+        return pd.Series([flat[i * w:(i + 1) * w] for i in range(len(sigs))])
 
     return minhash
 
 
 def signature_agreement(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
-    """Estimated Jaccard = fraction of agreeing signature positions.
+    """Estimated Jaccard = fraction of agreeing signature positions,
+    over binary-packed signatures (4-byte little-endian cells).
 
-    Pure Catalyst (``zip_with`` + ``aggregate``): verification of LSH
-    candidate pairs never leaves the JVM.
+    Pure Catalyst (``aggregate`` over a constant-folded position
+    sequence; per-position 4-byte ``substr`` + binary equality):
+    verification of LSH candidate pairs never leaves the JVM, and the
+    pair join that feeds it moves one ~512-byte cell per side instead
+    of a 128-element array.
     """
+    four = F.lit(SIG_BYTES_PER_PERM)
     agree = F.aggregate(
-        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
         F.lit(0),
-        lambda acc, v: acc + v,
+        lambda acc, j: acc + F.when(
+            sig_a.substr(j * four + F.lit(1), four)
+            == sig_b.substr(j * four + F.lit(1), four), 1).otherwise(0),
     )
     return agree.cast("double") / F.lit(float(num_perm))
 

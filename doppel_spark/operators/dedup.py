@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from doppel_spark.config import NearDupConfig
 from doppel_spark.functions.digests import full_digest
 from doppel_spark.operators.components import clusters_with_singletons, connected_components
-from doppel_spark.operators.lsh import candidate_pairs, verify_pairs_exact, with_signature
+from doppel_spark.operators.lsh import (candidate_pairs, signature_stage,
+                                        verify_pairs_exact)
 
 
 def _digest_or_sentinel(text_col: str, id_col: str):
@@ -100,13 +101,11 @@ def ngram_jaccard_dedup(
 
     mat = StageMaterializer.for_input(df.select(id_col, text_col),
                                       prefix="ngramjac")
-    # cut below the MinHash UDF: bucket membership alone evaluates its
+    # cut below the MinHash stage: bucket membership alone evaluates its
     # input twice, and candidate_pairs' internal memb cut still needs a
     # UDF-free subtree above it to be cheap
     sigs = mat.cut(
-        with_signature(df.select(F.col(id_col), F.col(text_col)), cfg,
-                       text_col=text_col).select(id_col, "signature",
-                                                 "band_hashes"), "sigs")
+        signature_stage(df, cfg, id_col=id_col, text_col=text_col), "sigs")
     cand = candidate_pairs(sigs, cfg, id_col=id_col)
     verified = verify_pairs_exact(cand, df, cfg, id_col=id_col, text_col=text_col) \
         .filter(F.col("jaccard") >= cfg.jaccard_threshold)

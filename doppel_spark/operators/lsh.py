@@ -41,7 +41,8 @@ from doppel_spark.functions.minhash import (
 
 
 def with_signature(df: DataFrame, cfg: NearDupConfig, text_col: str = "text") -> DataFrame:
-    """Add ``signature: array<int>`` + ``band_hashes: array<long>``.
+    """Add ``signature: binary`` (num_perm packed int32-LE) +
+    ``band_hashes: array<long>``.
 
     Both come from ONE shingle pass (struct-returning pandas UDF); the
     precomputed band hashes make downstream banding a plain codegen'd
@@ -59,17 +60,18 @@ def with_signature(df: DataFrame, cfg: NearDupConfig, text_col: str = "text") ->
 
 def signature_stage(df: DataFrame, cfg: NearDupConfig, id_col: str = "url",
                     text_col: str = "text") -> DataFrame:
-    """(id, signature array<int>, band_hashes array<long>) via
+    """(id, signature binary, band_hashes array<long>) via
     ``mapInArrow`` — the flagship's signature stage with zero
     pandas/Python-object traffic in EITHER direction.
 
     Round-4 profiling showed the stage is bound by the Arrow worker
     round trip, not the (already whole-batch-vectorized) kernel: the
     pandas-UDF path materializes a PyUnicode per document on the way in
-    (Arrow → pd.Series of str) and a Python list per document on the
+    (Arrow → pd.Series of str) and a Python object per document on the
     way back. Here the kernel reads Spark's Arrow string buffer AS IS
-    (minhash._as_string_array) and the return lists are assembled O(1)
-    per batch from the kernel's contiguous numpy output
+    (minhash._as_string_array); the signature returns as ONE packed
+    binary buffer (the kernel's numpy output, zero-copy) and the band
+    column is assembled O(1) per batch
     (minhash.sig_bands_arrow_columns). Values are byte-identical to
     :func:`with_signature` (same kernel; asserted in tests).
 
@@ -90,7 +92,7 @@ def signature_stage(df: DataFrame, cfg: NearDupConfig, id_col: str = "url",
     in_df = df.select(F.col(id_col), F.col(text_col))
     out_schema = T.StructType([
         in_df.schema[id_col],
-        T.StructField("signature", T.ArrayType(T.IntegerType())),
+        T.StructField("signature", T.BinaryType()),
         T.StructField("band_hashes", T.ArrayType(T.LongType())),
     ])
 

@@ -37,8 +37,8 @@ from doppel_spark.operators.lsh import (
     bucket_membership,
     lsh_bucket_stats,
     pairs_from_membership,
+    signature_stage,
     verify_pairs,
-    with_signature,
 )
 from doppel_spark.operators.stage import StageMaterializer
 
@@ -119,6 +119,13 @@ def near_dup_pipeline(
     # table (see doppel_spark.checkpoint); the semantics are the same:
     # compute the signal once, reuse it.
     #
+    # The stage runs via `signature_stage` (mapInArrow): Spark's Arrow
+    # string buffer is read in place and the packed-binary signature
+    # returns as one buffer — zero per-document Python in either
+    # direction (the pandas-UDF transport paid a PyUnicode in and a
+    # Python object out per document; round-4 profiling showed that
+    # round trip, not the kernel, bounds the stage at 3.6M docs).
+    #
     # The LSH path runs on 64-bit surrogate ids (`rid = xxhash64(url)`):
     # the band explosion multiplies row count ×bands, so shuffling a
     # ~45-byte url string there dominates the wire cost — 16-byte
@@ -127,7 +134,7 @@ def near_dup_pipeline(
     # (expected spurious pairs ≈ n²/2⁶⁴ — a handful even at 10¹² docs);
     # true-pair loss requires both members to collide, ~2⁻⁶⁴ per pair.
     sigs = _materialize(
-        with_signature(reps, cfg, text_col=text_col)
+        signature_stage(reps, cfg, id_col=id_col, text_col=text_col)
         .select(id_col, F.xxhash64(id_col).alias("rid"),
                 "signature", "band_hashes"), "sigs")
 

@@ -15,6 +15,7 @@ from doppel_spark.functions.minhash import (
     minhash_signature_udf,
     shingle_set,
     signature_agreement,
+    unpack_signature,
 )
 from doppel_spark.functions.simhash import simhash_near_pairs, simhash_udf
 from doppel_spark.operators.components import connected_components
@@ -44,7 +45,9 @@ def test_minhash_identical_texts_identical_signatures(spark):
     sigs = with_signature(df, CFG).select("url", "signature").collect()
     s = {r["url"]: r["signature"] for r in sigs}
     assert s["a"] == s["b"]
-    assert len(s["a"]) == CFG.num_perm
+    # binary-packed: num_perm little-endian int32 cells
+    assert len(s["a"]) == 4 * CFG.num_perm
+    assert unpack_signature(s["a"]).shape == (CFG.num_perm,)
 
 
 def test_minhash_estimates_jaccard(spark):
@@ -54,8 +57,8 @@ def test_minhash_estimates_jaccard(spark):
     df = spark.createDataFrame(
         [("a", " ".join(base)), ("b", " ".join(mod))], "url string, text string")
     sigs = with_signature(df, CFG)
-    a = sigs.filter("url='a'").select("signature").collect()[0][0]
-    b = sigs.filter("url='b'").select("signature").collect()[0][0]
+    a = unpack_signature(sigs.filter("url='a'").select("signature").collect()[0][0])
+    b = unpack_signature(sigs.filter("url='b'").select("signature").collect()[0][0])
     est = sum(x == y for x, y in zip(a, b)) / CFG.num_perm
     jac = exact_jaccard_udf(5)
     true_j = (
@@ -67,8 +70,11 @@ def test_minhash_estimates_jaccard(spark):
 
 
 def test_signature_agreement_column(spark):
-    df = spark.createDataFrame(
-        [([1, 2, 3, 4], [1, 2, 9, 4])], "sa array<long>, sb array<long>")
+    import numpy as np
+
+    sa = np.array([1, 2, 3, 4], dtype="<i4").tobytes()
+    sb = np.array([1, 2, 9, 4], dtype="<i4").tobytes()
+    df = spark.createDataFrame([(sa, sb)], "sa binary, sb binary")
     got = df.select(signature_agreement(F.col("sa"), F.col("sb"), 4).alias("j")) \
             .collect()[0]["j"]
     assert got == pytest.approx(0.75)
@@ -194,7 +200,7 @@ def test_minhash_num_perm_not_chunk_multiple(spark):
     df = spark.createDataFrame([("a b c d e f g",), ("x y z",)], "text string")
     mh = minhash_signature_udf(num_perm=80, k=3)
     sigs = [r[0] for r in df.select(mh("text")).collect()]
-    assert all(len(s) == 80 for s in sigs)
+    assert all(unpack_signature(s).size == 80 for s in sigs)
 
 
 def test_components_nonconvergence_raises(spark):
