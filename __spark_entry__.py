@@ -22,6 +22,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from doppel_spark.config import FilterConfig, NearDupConfig  # noqa: E402
 from doppel_spark.corpus import LANG_STOPWORDS  # noqa: E402
 from doppel_spark.functions.fingerprint import fingerprint_udf  # noqa: E402
+from doppel_spark.functions.redact import (  # noqa: E402
+    EMAIL_PATTERN,
+    EMAIL_TOKEN,
+    IPV4_PATTERN,
+    IPV4_TOKEN,
+    email_count,
+    ipv4_count,
+    redact_pii,
+)
 from doppel_spark.functions.simhash import simhash_udf  # noqa: E402
 from doppel_spark.functions.text import (  # noqa: E402
     SUBTOKEN_PATTERN,
@@ -35,6 +44,12 @@ from doppel_spark.operators.dedup import (  # noqa: E402
     dedup_stats,
 )
 from doppel_spark.operators.exact import exact_dup_pipeline  # noqa: E402
+from doppel_spark.operators.lines import (  # noqa: E402
+    dup_line_char_fraction_micros,
+    dup_line_fraction_micros,
+    line_dedup,
+    top_ngram_mass,
+)
 from doppel_spark.operators.neardup import near_dup_pipeline  # noqa: E402
 from doppel_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
@@ -98,6 +113,16 @@ SHP_PAIRS = 20             # planted SimHash rotation pairs
 #: as capped (star pairing), with the skipped-pair arithmetic pinned
 HOT_MEMBERS = 40
 HOT_CAP = 32
+#: line-structure planting (mirrored literally in _LINE_DOCS_SQL):
+#: documents re-wrapped into LINE_WRAP-token lines; every 5th doc gets
+#: a shared boilerplate line (cross-doc dup for line_dedup), every 7th
+#: repeats its own first line (intra-doc dup for the repetition
+#: signals) — both plants are non-vacuous at every SF
+LINE_WRAP = 8
+BOILER_LINE = "subscribe now click here to continue reading"
+#: PII planting mods: every 3rd doc gets an email, every 4th an IPv4
+PII_EMAIL_MOD = 3
+PII_IP_MOD = 4
 
 FILTER_PRESET = FilterConfig(
     exclude_source_globs=("src1*",),
@@ -120,6 +145,60 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _line_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic line-structured corpus for the line-granularity ops.
+
+    The flat word-soup documents carry no newlines, so line structure is
+    planted: each doc's tokens are re-wrapped into ``LINE_WRAP``-token
+    lines; every 5th doc additionally ends with the shared
+    ``BOILER_LINE`` (a cross-document duplicate line — the boilerplate
+    line_dedup exists to kill), and every 7th doc repeats its own first
+    line (an intra-document duplicate for the repetition signals).
+    Mirrored literally by ``_LINE_DOCS_SQL``.
+    """
+    toks = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(toks) / F.lit(LINE_WRAP)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * LINE_WRAP + 1, LINE_WRAP), " "),
+    )
+    body = F.array_join(chunks, "\n")
+    first_line = F.array_join(F.slice(toks, 1, LINE_WRAP), " ")
+    text = F.concat(
+        body,
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("\n"), F.lit(BOILER_LINE))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit("\n"), first_line)).otherwise(F.lit("")),
+    )
+    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+
+
+#: DuckDB mirror of :func:`_line_docs` — a CTE named ``line_docs``
+_LINE_DOCS_SQL = f"""
+    line_docs AS (
+      SELECT doc_id,
+             b
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || '{BOILER_LINE}' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN chr(10) || first_line ELSE '' END AS text
+      FROM (
+        SELECT doc_id,
+               array_to_string(
+                 list_transform(
+                   range(0, CAST(ceil(len(toks) / {LINE_WRAP}.0) AS INT)),
+                   i -> array_to_string(
+                     list_slice(toks, i * {LINE_WRAP} + 1,
+                                i * {LINE_WRAP} + {LINE_WRAP}), ' ')),
+                 chr(10)) AS b,
+               array_to_string(list_slice(toks, 1, {LINE_WRAP}), ' ')
+                 AS first_line
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      )
+    )"""
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +348,59 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(payload).cast("long").alias("byte_len"),
         F.sha2(payload, 256).alias("payload_digest"),
     )
+
+
+def _q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide line-level exact dedup over the planted
+    line corpus: the shared boilerplate line survives exactly once
+    (in the smallest (doc_id, line_no)), every other occurrence —
+    including the planted intra-doc repeats — is dropped and documents
+    are reassembled from their surviving lines."""
+    return line_dedup(_line_docs(spark, sf_dir), id_col="doc_id")
+
+
+def _q_line_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals (duplicate-line
+    fraction + duplicate-line character fraction, integer micros) over
+    the planted line corpus — non-vacuous via the every-7th-doc
+    repeated first line."""
+    return _line_docs(spark, sf_dir).select(
+        "doc_id",
+        dup_line_fraction_micros("text"),
+        dup_line_char_fraction_micros("text"),
+    )
+
+
+def _q_top_bigram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent word-bigram mass per document (count × gram chars,
+    plus its micros fraction of the doc) — the tie-break-free form of
+    the 'fraction of characters in the most common n-gram' repetition
+    filter. Runs over the raw documents (word repetition is natural
+    there)."""
+    return top_ngram_mass(_docs(spark, sf_dir), n=2, id_col="doc_id")
+
+
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a planted corpus (every 3rd doc gets an email,
+    every 4th an IPv4): per-doc match counts + the redacted text, with
+    the email-then-IP replacement order pinned on both engines."""
+    d = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % PII_EMAIL_MOD == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % PII_IP_MOD == 0,
+            F.concat(F.lit(" ip 10."), (F.col("doc_id") % 256).cast("string"),
+                     F.lit(".0.1 logged")),
+        ).otherwise(F.lit("")),
+    )
+    p = d.select("doc_id", planted.alias("text"))
+    return p.select("doc_id", email_count("text"), ipv4_count("text"),
+                    redact_pii("text"))
 
 
 # --- rows-only (hash-function-defined; no ANSI-SQL oracle possible) --------
@@ -904,6 +1036,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_planted": _q_simhash_pairs_planted,
         "neardup_skew_stats": _q_neardup_skew_stats,
         "checkpoint_resume": _q_checkpoint_resume,
+        "line_dedup_docs": _q_line_dedup_docs,
+        "line_repetition_stats": _q_line_repetition_stats,
+        "top_bigram_mass": _q_top_bigram_mass,
+        "pii_redaction": _q_pii_redaction,
     }
 
 
@@ -1370,6 +1506,118 @@ def oracle_sql() -> dict[str, str]:
                    printf('sh:%02d:b', rk) AS url_b,
                    CAST(0 AS BIGINT) AS hamming
             FROM sel
+        """,
+        "line_dedup_docs": f"""
+            WITH {_LINE_DOCS_SQL},
+            ln0 AS (
+              SELECT doc_id, string_split(text, chr(10)) AS l FROM line_docs
+            ), ln AS (
+              SELECT doc_id, unnest(range(len(l))) AS line_no,
+                     unnest(l) AS raw
+              FROM ln0
+            ), nb AS (
+              SELECT doc_id, line_no, trim(raw) AS line
+              FROM ln WHERE trim(raw) <> ''
+            ), ranked AS (
+              SELECT doc_id, line_no, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_no) AS rn
+              FROM nb
+            ), kept AS (
+              SELECT * FROM ranked WHERE rn = 1
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_total FROM nb GROUP BY 1
+            )
+            SELECT k.doc_id,
+                   string_agg(k.line, chr(10) ORDER BY k.line_no)
+                     AS text_clean,
+                   count(*) AS n_lines_kept,
+                   any_value(t.n_total) - count(*) AS n_lines_dropped
+            FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+            GROUP BY k.doc_id
+        """,
+        "line_repetition_stats": f"""
+            WITH {_LINE_DOCS_SQL},
+            arrs AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split(text, chr(10)),
+                                      x -> trim(x)),
+                       x -> x <> '') AS l
+              FROM line_docs
+            ), m AS (
+              SELECT doc_id, len(l) AS n, len(list_distinct(l)) AS d,
+                     list_aggregate(list_transform(l, x -> length(x)),
+                                    'sum') AS chars,
+                     list_aggregate(
+                       list_transform(list_distinct(l), x -> length(x)),
+                       'sum') AS dchars
+              FROM arrs
+            )
+            SELECT doc_id,
+                   CASE WHEN n = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor((n - d) * 1000000.0 / n) AS BIGINT)
+                   END AS dup_line_frac_micros,
+                   CASE WHEN chars IS NULL OR chars = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor((chars - dchars) * 1000000.0 / chars)
+                                  AS BIGINT)
+                   END AS dup_char_frac_micros
+            FROM m
+        """,
+        "top_bigram_mass": """
+            WITH t AS (
+              SELECT doc_id, length(text) AS tlen,
+                     string_split(text, ' ') AS toks
+              FROM documents
+            ), g0 AS (
+              SELECT doc_id,
+                     list_transform(range(0, len(toks) - 1),
+                       i -> array_to_string(
+                         list_slice(toks, i + 1, i + 2), ' ')) AS grams
+              FROM t WHERE len(toks) >= 2
+            ), g AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g0
+            ), c AS (
+              SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2
+            ), p AS (
+              SELECT doc_id, max(cnt * length(gram)) AS mass
+              FROM c GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(p.mass, 0) AS BIGINT) AS top_gram_mass,
+                   CASE WHEN t.tlen = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor(coalesce(p.mass, 0) * 1000000.0
+                                        / t.tlen) AS BIGINT)
+                   END AS top_gram_frac_micros
+            FROM t LEFT JOIN p ON t.doc_id = p.doc_id
+        """,
+        "pii_redaction": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % {PII_EMAIL_MOD} = 0
+                             THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                                  || '@example.com now'
+                             ELSE '' END
+                     || CASE WHEN doc_id % {PII_IP_MOD} = 0
+                             THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                                  || '.0.1 logged'
+                             ELSE '' END AS text
+              FROM documents
+            ), r AS (
+              SELECT doc_id, text,
+                     regexp_replace(text, '{EMAIL_PATTERN}', '{EMAIL_TOKEN}',
+                                    'g') AS after_email
+              FROM p
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{EMAIL_PATTERN}'))
+                        AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(after_email, '{IPV4_PATTERN}'))
+                        AS BIGINT) AS n_ips,
+                   regexp_replace(after_email, '{IPV4_PATTERN}', '{IPV4_TOKEN}',
+                                  'g') AS text_clean
+            FROM r
         """,
         # minhash_lsh_clusters / simhash_fingerprints / simhash_near_pairs /
         # substring_pairs / doc_fingerprints / ann_topk_lsh / ann_topk_ivf /

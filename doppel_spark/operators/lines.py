@@ -1,0 +1,215 @@
+"""Line-structure operators for web-text pipelines (C4 / Gopher style).
+
+Three structural-repetition ops that sit between whole-document exact
+dedup and MinHash near-dup in a training cut:
+
+* :func:`line_dedup` — **global line-level exact dedup**: every
+  non-first occurrence of a (trimmed) line across the whole corpus is
+  dropped and documents are reassembled from their surviving lines —
+  the classic boilerplate killer (nav bars, cookie banners, footers).
+* :func:`dup_line_fraction_micros` / :func:`dup_line_char_fraction_micros`
+  — **intra-document repetition signals** (fraction of repeated lines /
+  of characters inside repeated lines), pure per-row Catalyst.
+* :func:`top_ngram_mass` — **most-frequent word-n-gram mass** per
+  document (count × gram chars, and its fraction of the document),
+  the "fraction of characters in the most common n-gram" repetition
+  filter, explode-based so it scales to arbitrarily long documents.
+
+Reference tie: doppel groups whole files by content digest
+(/root/reference/internal/finder/finder.go:114-143); web-text pipelines
+apply the same digest-groupBy skeleton one level down, at line
+granularity. The keep-first-global-occurrence semantics mirror
+doppel's deterministic keep-canonical (min id) convention
+(finder.go:116-121) applied to (doc, line-position) pairs.
+
+Scale notes (100 TB):
+
+* ``line_dedup`` elects winners by shuffling only
+  ``(xxhash64(line), id, line_no)`` — ~24-byte rows — and ships the
+  decision back as one ``(id, int array)`` row per document; line text
+  itself never shuffles exploded, and full rows move at most once (the
+  id-join, broadcast under AQE when the decision table fits). The
+  64-bit line-hash election merges colliding lines (~2⁻⁶⁴ per
+  distinct-line pair); acceptable for a boilerplate cut, and the
+  oracle-side check groups by the line text itself so a collision
+  would be *caught*, not silently blessed.
+* ``top_ngram_mass`` shuffles ``(id, xxhash64(gram), gram_chars)``
+  — never the gram text — then reduces to one row per document.
+* The per-row signals never shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _text_col(text: Column | str) -> Column:
+    return F.col(text) if isinstance(text, str) else text
+
+
+def nonblank_lines(text: Column | str) -> Column:
+    """Array of trimmed, non-blank lines of ``text`` (split on ``\\n``)."""
+    t = _text_col(text)
+    return F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+
+
+def split_lines(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Explode documents to (id, line_no, line) — trimmed, blanks dropped.
+
+    ``line_no`` is the 0-based position in the ORIGINAL document (blank
+    lines still advance it), so (id, line_no) is a stable line address
+    for lineage and for deterministic winner election.
+    """
+    return (
+        df.select(F.col(id_col),
+                  F.posexplode(F.split(_text_col(text_col), "\n"))
+                  .alias("line_no", "line"))
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+    )
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Corpus-wide line-level exact dedup, keep first global occurrence.
+
+    A line survives iff its (trimmed) text has not appeared earlier in
+    the corpus, "earlier" = smaller ``(id, line_no)`` — deterministic
+    regardless of partitioning. Documents are reassembled from their
+    surviving lines in original order; documents with zero surviving
+    lines are dropped.
+
+    Returns ``(id, text_clean, n_lines_kept, n_lines_dropped)``.
+
+    Plan shape — line TEXT never shuffles at all: winner election is a
+    groupBy over ``xxhash64(line)`` carrying only (hash, id, line_no);
+    winners roll up to one ``(id, sorted int array of kept line_nos)``
+    row per surviving document; that slim decision table joins back to
+    the ORIGINAL rows on the id, and reassembly is per-row array
+    expression work (index into the re-split text) — so the only
+    full-row movement is the one id-join shuffle, which AQE replaces
+    with a broadcast whenever the decision table fits.
+    """
+    lines = split_lines(df, id_col=id_col, text_col=text_col)
+    keyed = lines.select(id_col, "line_no", F.xxhash64("line").alias("lk"))
+    winners = keyed.groupBy("lk").agg(
+        F.min(F.struct(id_col, "line_no")).alias("w"))
+    keep_arrays = (
+        winners.select(F.col(f"w.{id_col}").alias(id_col),
+                       F.col("w.line_no").alias("line_no"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("line_no")).alias("_keep"))
+    )
+    trimmed = F.transform(F.split(_text_col(text_col), "\n"),
+                          lambda x: F.trim(x))
+    n_total = F.size(F.filter(trimmed, lambda x: x != ""))
+    kept_lines = F.transform(F.col("_keep"),
+                             lambda i: F.element_at(trimmed, i + 1))
+    return (
+        df.join(keep_arrays, id_col)
+        .select(
+            F.col(id_col),
+            F.array_join(kept_lines, "\n").alias("text_clean"),
+            F.size("_keep").cast("long").alias("n_lines_kept"),
+            (n_total - F.size("_keep")).cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )
+
+
+def dup_line_fraction_micros(text: Column | str) -> Column:
+    """⌊10⁶ · (repeated non-blank lines / non-blank lines)⌋; 0 if none.
+
+    "Repeated" counts every occurrence beyond a line's first within the
+    SAME document. Integer micros so cross-engine comparison is exact.
+    """
+    lines = nonblank_lines(text)
+    n = F.size(lines)
+    d = F.size(F.array_distinct(lines))
+    return (
+        F.when(n == 0, F.lit(0))
+        .otherwise(F.floor((n - d) * F.lit(1_000_000) / n))
+        .cast("long")
+        .alias("dup_line_frac_micros")
+    )
+
+
+def dup_line_char_fraction_micros(text: Column | str) -> Column:
+    """⌊10⁶ · (chars inside repeated line occurrences / line chars)⌋.
+
+    Character-weighted twin of :func:`dup_line_fraction_micros`:
+    Σ len over all non-blank lines minus Σ len over distinct lines,
+    as a fraction of the former. 0 for documents with no line chars.
+    """
+    lines = nonblank_lines(text)
+    chars = F.aggregate(lines, F.lit(0).cast("long"),
+                        lambda acc, x: acc + F.length(x))
+    dchars = F.aggregate(F.array_distinct(lines), F.lit(0).cast("long"),
+                         lambda acc, x: acc + F.length(x))
+    return (
+        F.when(chars == 0, F.lit(0))
+        .otherwise(F.floor((chars - dchars) * F.lit(1_000_000) / chars))
+        .cast("long")
+        .alias("dup_char_frac_micros")
+    )
+
+
+def top_ngram_mass(df: DataFrame, n: int = 2, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Most-frequent word-n-gram mass per document.
+
+    mass = max over n-grams of ``occurrences × gram chars`` (gram chars
+    include the single joining spaces); the companion fraction is
+    ``⌊10⁶ · mass / length(text)⌋``. Taking the max of the *product*
+    (not "count of the most frequent gram") makes the statistic
+    tie-break-free and monotone in both repetition count and gram size
+    — the thresholdable form of the "fraction of characters in the most
+    common n-gram" repetition filter.
+
+    Documents with fewer than ``n`` tokens get mass 0. Returns
+    ``(id, top_gram_mass, top_gram_frac_micros)`` — one row per input
+    document.
+
+    Plan shape: grams shuffle as ``(id, xxhash64(gram), gram_chars)``;
+    the per-(id, gram) count and the per-id max are both map-side
+    combinable; the final join back to the id set is id-only.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    t = _text_col(text_col)
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    g = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(id_col, F.xxhash64("gram").alias("gk"),
+                F.length("gram").alias("glen"))
+    )
+    per_doc = (
+        g.groupBy(id_col, "gk")
+        .agg(F.count("*").alias("cnt"), F.first("glen").alias("glen"))
+        .groupBy(id_col)
+        .agg(F.max(F.col("cnt") * F.col("glen")).alias("top_gram_mass"))
+    )
+    base = df.select(F.col(id_col), F.length(t).alias("_len"))
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("top_gram_mass", F.lit(0)).cast("long")
+            .alias("top_gram_mass"),
+            F.when(F.col("_len") == 0, F.lit(0))
+            .otherwise(F.floor(F.coalesce("top_gram_mass", F.lit(0))
+                               * F.lit(1_000_000) / F.col("_len")))
+            .cast("long")
+            .alias("top_gram_frac_micros"),
+        )
+    )

@@ -1,0 +1,126 @@
+"""Line-structure operators (C4/Gopher family) + PII redaction columns.
+
+Hand-built corpora with answers known by construction: global
+first-occurrence line dedup, intra-doc repetition fractions,
+most-frequent-bigram mass, email/IPv4 scrubbing order.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from doppel_spark.functions.redact import (  # noqa: E402
+    email_count,
+    ipv4_count,
+    redact_pii,
+)
+from doppel_spark.operators.lines import (  # noqa: E402
+    dup_line_char_fraction_micros,
+    dup_line_fraction_micros,
+    line_dedup,
+    split_lines,
+    top_ngram_mass,
+)
+
+
+def _line_corpus(spark):
+    # doc 1: three lines, one blank in the middle (positions still count)
+    # doc 2: repeats doc 1's "shared line" (cross-doc dup) + own line
+    # doc 3: ONLY dup lines → must vanish from the dedup output
+    rows = [
+        (1, "alpha one\n\n  shared line  \nalpha two"),
+        (2, "beta one\nshared line\nbeta one"),
+        (3, "shared line\nalpha one"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_split_lines_positions_and_blanks(spark):
+    out = {(r["doc_id"], r["line_no"]): r["line"]
+           for r in split_lines(_line_corpus(spark)).collect()}
+    # blank line at (1,1) dropped but position 2/3 preserved; trimmed
+    assert out[(1, 0)] == "alpha one"
+    assert (1, 1) not in out
+    assert out[(1, 2)] == "shared line"
+    assert out[(1, 3)] == "alpha two"
+
+
+def test_line_dedup_keeps_first_global_occurrence(spark):
+    out = {r["doc_id"]: r for r in line_dedup(_line_corpus(spark)).collect()}
+    # doc 1 keeps everything (all its lines appear there first)
+    assert out[1]["text_clean"] == "alpha one\nshared line\nalpha two"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_dropped"]) == (3, 0)
+    # doc 2 loses "shared line" (first seen in doc 1) and its own
+    # intra-doc repeat of "beta one"
+    assert out[2]["text_clean"] == "beta one"
+    assert (out[2]["n_lines_kept"], out[2]["n_lines_dropped"]) == (1, 2)
+    # doc 3 is all-duplicate → dropped entirely
+    assert 3 not in out
+
+
+def test_dup_line_fractions(spark):
+    df = spark.createDataFrame(
+        [(1, "aa\nbb\naa\ncccc"), (2, "xx\nyy"), (3, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        dup_line_fraction_micros("text"),
+        dup_line_char_fraction_micros("text")).collect()}
+    # doc 1: 4 lines, 3 distinct → 1/4; chars 2+2+2+4=10, distinct 8 → 2/10
+    assert out[1]["dup_line_frac_micros"] == 250_000
+    assert out[1]["dup_char_frac_micros"] == 200_000
+    assert out[2]["dup_line_frac_micros"] == 0
+    assert out[2]["dup_char_frac_micros"] == 0
+    assert out[3]["dup_line_frac_micros"] == 0
+    assert out[3]["dup_char_frac_micros"] == 0
+
+
+def test_top_ngram_mass_bigrams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "only"), (3, "x y")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in top_ngram_mass(df, n=2).collect()}
+    # doc 1: "a b"×3 (len 3) mass 9; "b a"×2 mass 6 → 9; len(text)=11
+    assert out[1]["top_gram_mass"] == 9
+    assert out[1]["top_gram_frac_micros"] == 9 * 1_000_000 // 11
+    # doc 2: < 2 tokens → mass 0, still one output row
+    assert out[2]["top_gram_mass"] == 0
+    assert out[3]["top_gram_mass"] == 3  # "x y" once, len 3
+    assert len(out) == 3
+
+
+def test_top_ngram_mass_rejects_bad_n(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    try:
+        top_ngram_mass(df, n=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_redact_pii_order_and_counts(spark):
+    rows = [
+        (1, "mail bob.smith+x@site-a.org and 10.0.0.1 end"),
+        (2, "addr a@1.2.3.4.com x"),   # dotted quad INSIDE email domain
+        (3, "bare a@1.2.3.4 quad"),    # numeric TLD → NOT an email
+        (4, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", email_count("text"), ipv4_count("text"),
+        redact_pii("text")).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 1
+    assert out[1]["text_clean"] == "mail <EMAIL> and <IP> end"
+    # email pass consumes the embedded quad — no double redaction
+    assert out[2]["n_emails"] == 1 and out[2]["n_ips"] == 0
+    assert out[2]["text_clean"] == "addr <EMAIL> x"
+    # the email pattern requires an alphabetic TLD, so a dotted-quad
+    # "domain" is not an email — the IP pass picks up the quad
+    assert out[3]["n_emails"] == 0 and out[3]["n_ips"] == 1
+    assert out[3]["text_clean"] == "bare a@<IP> quad"
+    assert out[4]["text_clean"] == "no pii here"
