@@ -32,6 +32,11 @@ from doppel_spark.functions.redact import (  # noqa: E402
     redact_pii,
 )
 from doppel_spark.functions.simhash import simhash_udf  # noqa: E402
+from doppel_spark.functions.splits import (  # noqa: E402
+    assign_split,
+    split_thresholds,
+    stratified_sample,
+)
 from doppel_spark.functions.text import (  # noqa: E402
     SUBTOKEN_PATTERN,
     lang_id,
@@ -42,6 +47,11 @@ from doppel_spark.functions.text import (  # noqa: E402
 from doppel_spark.operators.dedup import (  # noqa: E402
     dedup_assignments,
     dedup_stats,
+)
+from doppel_spark.operators.contamination import (  # noqa: E402
+    WS_CLASS as CONTAM_WS,
+    contamination_report,
+    decontaminate,
 )
 from doppel_spark.operators.exact import exact_dup_pipeline  # noqa: E402
 from doppel_spark.operators.lines import (  # noqa: E402
@@ -123,6 +133,17 @@ BOILER_LINE = "subscribe now click here to continue reading"
 #: PII planting mods: every 3rd doc gets an email, every 4th an IPv4
 PII_EMAIL_MOD = 3
 PII_IP_MOD = 4
+#: decontamination planting: eval set = the 12-token span starting at
+#: token 3 (1-based) of every 6th doc; overlap tested at word-8-grams
+DECON_N = 8
+DECON_MOD = 6
+DECON_POS = 3
+DECON_LEN = 12
+#: split / sampling configs (seeds pin the md5 bucket space)
+SPLIT_WEIGHTS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+SPLIT_SEED = "cut-v1"
+STRAT_FRACTIONS = {"en": 1.0, "de": 0.5, "fr": 0.25}
+STRAT_SEED = "strat-v1"
 
 FILTER_PRESET = FilterConfig(
     exclude_source_globs=("src1*",),
@@ -401,6 +422,87 @@ def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = d.select("doc_id", planted.alias("text"))
     return p.select("doc_id", email_count("text"), ipv4_count("text"),
                     redact_pii("text"))
+
+
+def _decon_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted eval corpus: for every ``DECON_MOD``-th doc, a 12-token
+    span (tokens 3–14) lifted verbatim from its text — so contamination
+    is non-vacuous at every SF and pinned by construction (every doc
+    has ≥ 10 tokens in the testdata)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") % DECON_MOD == 0)
+    toks = F.filter(F.split(F.col("text"), CONTAM_WS), lambda x: x != "")
+    return d.select(
+        F.array_join(F.slice(toks, DECON_POS, DECON_LEN), " ").alias("text"))
+
+
+def _q_decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style eval-overlap report: word-8-gram hits per document
+    against the planted eval set (spans lifted from every 6th doc) —
+    every 6th doc is contaminated by construction; any additional hits
+    (natural gram repeats, pre-planted exact-dup twins) are computed
+    identically by both engines."""
+    return contamination_report(_docs(spark, sf_dir),
+                                _decon_eval(spark, sf_dir), n=DECON_N)
+
+
+def _q_decontaminated_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drop-on-any-overlap cut: corpus minus every doc sharing an
+    8-gram with the planted eval set (broadcast probe + anti-join)."""
+    return decontaminate(_docs(spark, sf_dir), _decon_eval(spark, sf_dir),
+                         n=DECON_N).select("doc_id", "lang", "n_chars")
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment per document — md5
+    bucket thresholds, engine-portable, stable under repartitioning."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", assign_split("doc_id", SPLIT_WEIGHTS, seed=SPLIT_SEED))
+
+
+def _q_stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (en kept whole, de
+    halved, fr quartered, es/zh dropped) — pure per-row predicate."""
+    return stratified_sample(_docs(spark, sf_dir), STRAT_FRACTIONS,
+                             "doc_id", by="lang",
+                             seed=STRAT_SEED).select("doc_id", "lang")
+
+
+def _q_training_cut_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-cut composition over the planted line corpus:
+    PII-bearing lines are appended (every 3rd doc an email line, every
+    4th an IP line), redaction rewrites them to IDENTICAL boilerplate
+    (``contact <EMAIL> now`` / ``ip <IP> logged``), corpus-wide line
+    dedup then collapses each to its single first occurrence — the
+    redact→dedup interaction is the point — and finally only the
+    ``train`` hash-split survives. Returns the surviving documents'
+    reassembled text + line accounting."""
+    base = _line_docs(spark, sf_dir)
+    planted = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % PII_EMAIL_MOD == 0,
+                F.concat(F.lit("\ncontact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com now")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % PII_IP_MOD == 0,
+                F.concat(F.lit("\nip 10."),
+                         (F.col("doc_id") % 256).cast("string"),
+                         F.lit(".0.1 logged")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = planted.select("doc_id", redact_pii("text").alias("text"))
+    dd = line_dedup(red, id_col="doc_id")
+    return (
+        dd.withColumn("split",
+                      assign_split("doc_id", SPLIT_WEIGHTS, seed=SPLIT_SEED))
+        .filter(F.col("split") == "train")
+        .drop("split")
+    )
 
 
 # --- rows-only (hash-function-defined; no ANSI-SQL oracle possible) --------
@@ -1040,6 +1142,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_repetition_stats": _q_line_repetition_stats,
         "top_bigram_mass": _q_top_bigram_mass,
         "pii_redaction": _q_pii_redaction,
+        "decontamination_report": _q_decontamination_report,
+        "decontaminated_ids": _q_decontaminated_ids,
+        "split_assign": _q_split_assign,
+        "stratified_sample_lang": _q_stratified_sample_lang,
+        "training_cut_funnel": _q_training_cut_funnel,
     }
 
 
@@ -1114,6 +1221,98 @@ def _shingles_sql(text_expr: str, k: int) -> str:
         f"i -> array_to_string(list_slice({toks}, i + 1, i + {k}), ' '))) "
         f"WHEN len({toks}) > 0 THEN list_distinct({toks}) "
         f"ELSE [''] END")
+
+
+def _line_dedup_chain_sql(src: str) -> str:
+    """DuckDB CTE chain reproducing ``operators.lines.line_dedup`` over
+    the ``src`` CTE's ``(doc_id, text)`` rows — the oracle groups by the
+    line TEXT itself (the Spark side elects winners on xxhash64(line),
+    so a 64-bit collision would fail this compare, not pass silently).
+    Terminate with ``_LINE_DEDUP_FINAL_SQL``."""
+    return f"""ln0 AS (
+              SELECT doc_id, string_split(text, chr(10)) AS l FROM {src}
+            ), ln AS (
+              SELECT doc_id, unnest(range(len(l))) AS line_no,
+                     unnest(l) AS raw
+              FROM ln0
+            ), nb AS (
+              SELECT doc_id, line_no, trim(raw) AS line
+              FROM ln WHERE trim(raw) <> ''
+            ), ranked AS (
+              SELECT doc_id, line_no, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_no) AS rn
+              FROM nb
+            ), kept AS (
+              SELECT * FROM ranked WHERE rn = 1
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_total FROM nb GROUP BY 1
+            )"""
+
+
+_LINE_DEDUP_FINAL_SQL = """SELECT k.doc_id,
+                   string_agg(k.line, chr(10) ORDER BY k.line_no)
+                     AS text_clean,
+                   count(*) AS n_lines_kept,
+                   any_value(t.n_total) - count(*) AS n_lines_dropped
+            FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+            GROUP BY k.doc_id"""
+
+
+#: DuckDB tokens under the engine-wide ASCII-whitespace class,
+#: lowercased — mirror of ``contamination.word_ngrams`` tokenization
+_CONTAM_TOKS = ("list_filter(string_split_regex(lower({t}), "
+                "'[ \\t\\n\\x0B\\x0C\\r]+'), x -> x <> '')")
+
+
+def _grams_sql(text_expr: str, n: int) -> str:
+    """DuckDB mirror of ``contamination.word_ngrams`` (contiguous
+    word n-grams WITH multiplicity; < n tokens → empty list)."""
+    toks = _CONTAM_TOKS.format(t=text_expr)
+    return (f"CASE WHEN len({toks}) >= {n} THEN "
+            f"list_transform(range(len({toks}) - {n - 1}), "
+            f"i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' ')) "
+            f"ELSE CAST([] AS VARCHAR[]) END")
+
+
+def _bucket_sql(key_expr: str, seed: str) -> str:
+    """DuckDB mirror of ``splits.uniform_bucket``: md5 of ``seed:key``,
+    top 15 hex digits as BIGINT, mod BUCKETS. Bit-identical to Spark's
+    ``conv(substr(md5(..), 1, 15), 16, 10) % BUCKETS``."""
+    return (f"CAST(('0x' || substr(md5('{seed}:' || "
+            f"CAST({key_expr} AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000")
+
+
+def _split_case_sql(key_expr: str, weights: dict[str, float],
+                    seed: str) -> str:
+    """DuckDB mirror of ``splits.assign_split`` — thresholds come from
+    the SAME ``split_thresholds`` call the Spark column uses, so float
+    rounding at boundaries is shared, never re-derived."""
+    bounds = split_thresholds(weights)
+    b = _bucket_sql(key_expr, seed)
+    whens = " ".join(f"WHEN {b} < {hi} THEN '{name}'"
+                     for name, hi in bounds[:-1])
+    return f"CASE {whens} ELSE '{bounds[-1][0]}' END"
+
+
+#: eval-span CTE for the decontamination oracles (mirror of _decon_eval)
+_DECON_EV_SQL = f"""ev AS (
+              SELECT array_to_string(list_slice(
+                       list_filter(string_split_regex(text,
+                         '[ \\t\\n\\x0B\\x0C\\r]+'), x -> x <> ''),
+                       {DECON_POS}, {DECON_POS + DECON_LEN - 1}), ' ')
+                     AS text
+              FROM documents WHERE doc_id % {DECON_MOD} = 0
+            ), eg AS (
+              SELECT DISTINCT unnest({{g}}) AS gram FROM ev
+            ), cg AS (
+              SELECT doc_id, unnest(g) AS gram FROM (
+                SELECT doc_id, {{g}} AS g FROM documents)
+            )"""
+
+
+def _decon_cte_sql() -> str:
+    return _DECON_EV_SQL.replace("{g}", _grams_sql("text", DECON_N))
 
 
 def _ngram_jaccard_sql() -> str:
@@ -1509,32 +1708,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "line_dedup_docs": f"""
             WITH {_LINE_DOCS_SQL},
-            ln0 AS (
-              SELECT doc_id, string_split(text, chr(10)) AS l FROM line_docs
-            ), ln AS (
-              SELECT doc_id, unnest(range(len(l))) AS line_no,
-                     unnest(l) AS raw
-              FROM ln0
-            ), nb AS (
-              SELECT doc_id, line_no, trim(raw) AS line
-              FROM ln WHERE trim(raw) <> ''
-            ), ranked AS (
-              SELECT doc_id, line_no, line,
-                     row_number() OVER (PARTITION BY line
-                                        ORDER BY doc_id, line_no) AS rn
-              FROM nb
-            ), kept AS (
-              SELECT * FROM ranked WHERE rn = 1
-            ), tot AS (
-              SELECT doc_id, count(*) AS n_total FROM nb GROUP BY 1
-            )
-            SELECT k.doc_id,
-                   string_agg(k.line, chr(10) ORDER BY k.line_no)
-                     AS text_clean,
-                   count(*) AS n_lines_kept,
-                   any_value(t.n_total) - count(*) AS n_lines_dropped
-            FROM kept k JOIN tot t ON k.doc_id = t.doc_id
-            GROUP BY k.doc_id
+            {_line_dedup_chain_sql('line_docs')}
+            {_LINE_DEDUP_FINAL_SQL}
         """,
         "line_repetition_stats": f"""
             WITH {_LINE_DOCS_SQL},
@@ -1618,6 +1793,77 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(after_email, '{IPV4_PATTERN}', '{IPV4_TOKEN}',
                                   'g') AS text_clean
             FROM r
+        """,
+        "decontamination_report": f"""
+            WITH {_decon_cte_sql()},
+            hits AS (
+              SELECT doc_id, count(*) AS n_hits,
+                     count(DISTINCT gram) AS n_distinct_hits
+              FROM cg JOIN eg USING (gram) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(len({_grams_sql('d.text', DECON_N)}) AS BIGINT)
+                     AS n_grams,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(coalesce(h.n_distinct_hits, 0) AS BIGINT)
+                     AS n_distinct_hits,
+                   coalesce(h.n_hits, 0) > 0 AS is_contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        """,
+        "decontaminated_ids": f"""
+            WITH {_decon_cte_sql()},
+            bad AS (
+              SELECT DISTINCT doc_id FROM cg JOIN eg USING (gram)
+            )
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "split_assign": f"""
+            SELECT doc_id,
+                   {_split_case_sql('doc_id', SPLIT_WEIGHTS, SPLIT_SEED)}
+                     AS split
+            FROM documents
+        """,
+        "stratified_sample_lang": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {_bucket_sql('doc_id', STRAT_SEED)} <
+                  CASE {' '.join(
+                      f"WHEN lang = '{g}' THEN {int(fr * 1_000_000)}"
+                      for g, fr in STRAT_FRACTIONS.items())}
+                  ELSE 0 END
+        """,
+        "training_cut_funnel": f"""
+            WITH {_LINE_DOCS_SQL},
+            planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % {PII_EMAIL_MOD} = 0
+                             THEN chr(10) || 'contact user'
+                                  || CAST(doc_id AS VARCHAR)
+                                  || '@example.com now'
+                             ELSE '' END
+                     || CASE WHEN doc_id % {PII_IP_MOD} = 0
+                             THEN chr(10) || 'ip 10.'
+                                  || CAST(doc_id % 256 AS VARCHAR)
+                                  || '.0.1 logged'
+                             ELSE '' END AS text
+              FROM line_docs
+            ), red AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(text, '{EMAIL_PATTERN}',
+                                      '{EMAIL_TOKEN}', 'g'),
+                       '{IPV4_PATTERN}', '{IPV4_TOKEN}', 'g') AS text
+              FROM planted
+            ),
+            {_line_dedup_chain_sql('red')},
+            fin AS (
+              {_LINE_DEDUP_FINAL_SQL}
+            )
+            SELECT doc_id, text_clean, n_lines_kept, n_lines_dropped
+            FROM fin
+            WHERE {_split_case_sql('doc_id', SPLIT_WEIGHTS, SPLIT_SEED)}
+                  = 'train'
         """,
         # minhash_lsh_clusters / simhash_fingerprints / simhash_near_pairs /
         # substring_pairs / doc_fingerprints / ann_topk_lsh / ann_topk_ivf /

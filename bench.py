@@ -59,6 +59,8 @@ HEADLINE = [
     "emb_neardup_lsh",
     "doc_fingerprints",
     "substring_pairs",
+    "line_dedup_docs",
+    "decontamination_report",
 ]
 
 FLAGSHIP_DOCS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_DOCS", "20000"))

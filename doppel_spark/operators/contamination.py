@@ -1,0 +1,158 @@
+"""Eval-set decontamination — word-n-gram overlap against a benchmark.
+
+The standard training-data hygiene step (GPT-3-appendix style): any
+training document sharing at least one word n-gram (n≈13) with an
+evaluation benchmark is flagged (and usually dropped) so test answers
+can't leak into the training cut. Re-expressed Spark-first:
+
+* the EVAL side is small (benchmarks: 10³–10⁵ documents, ≤ millions of
+  grams) — its distinct gram set is **broadcast**, so the 100-TB corpus
+  side is a single map-side pass: explode grams per row, probe the
+  broadcast table, count hits. Corpus text NEVER shuffles; the only
+  exchange carries ``(id, gram)`` for the *hits only* (contamination is
+  rare by construction, so this is a trickle).
+* gram identity is the literal gram string by default — exact
+  semantics, zero collision caveat, oracle-equal by construction. For
+  very large eval sets pass ``hashed=True`` to broadcast 8-byte
+  ``xxhash64`` keys instead (~10× smaller broadcast; a false flag needs
+  a 64-bit collision between a corpus gram and an eval gram).
+* tokenization is the engine-wide explicit ASCII-whitespace class
+  (minhash._WS_RE — see that docstring for why not ``\\s``), with
+  optional ``lowercase`` normalization (on by default, matching common
+  decontamination practice).
+
+Reference tie: doppel has no cross-corpus notion — this is part of the
+web-scale operator family layered on its digest-groupBy skeleton
+(/root/reference/internal/finder/finder.go:84-143), with the "does this
+unit appear in the reference set" membership test replacing same-corpus
+grouping.
+
+Scale notes (100 TB): the corpus side is scan → per-row gram explode →
+broadcast-hash-join probe → map-side-combinable count per id. No
+corpus-side shuffle of text, no all-pairs anything; the eval broadcast
+is the only memory pressure and is bounded by the benchmark size (use
+``hashed=True`` past ~10⁷ grams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: the engine-wide six-byte ASCII-whitespace class (== minhash._WS_RE)
+WS_CLASS = "[ \t\n\x0b\x0c\r]+"
+
+
+def _text_col(text: Column | str) -> Column:
+    return F.col(text) if isinstance(text, str) else text
+
+
+def word_ngrams(text: Column | str, n: int, lowercase: bool = True) -> Column:
+    """Array of contiguous word n-grams of ``text`` (space-joined).
+
+    Tokens are the non-empty pieces of the ASCII-whitespace split;
+    documents with fewer than ``n`` tokens yield an empty array.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    t = _text_col(text)
+    if lowercase:
+        t = F.lower(t)
+    toks = F.filter(F.split(t, WS_CLASS), lambda x: x != "")
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def eval_ngrams(eval_df: DataFrame, n: int, text_col: str = "text",
+                lowercase: bool = True) -> DataFrame:
+    """Distinct word n-grams of the eval corpus — one ``gram`` column.
+
+    This is the broadcast side: distinct-reduce it once here (cheap,
+    eval-sized) so the corpus-side join probes a deduplicated table.
+    """
+    return (
+        eval_df.select(
+            F.explode(word_ngrams(text_col, n, lowercase)).alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_report(corpus: DataFrame, eval_df: DataFrame,
+                         n: int = 13, id_col: str = "doc_id",
+                         text_col: str = "text", lowercase: bool = True,
+                         hashed: bool = False) -> DataFrame:
+    """Per-document eval-overlap stats.
+
+    Returns one row per corpus document:
+    ``(id, n_grams, n_hits, n_distinct_hits, is_contaminated)`` where
+    ``n_grams`` counts the document's gram occurrences, ``n_hits`` the
+    occurrences whose gram appears in the eval set, ``n_distinct_hits``
+    the distinct overlapping grams, and ``is_contaminated`` =
+    ``n_hits > 0``.
+
+    ``eval_df`` may be raw eval documents (any frame with ``text_col``)
+    or a precomputed :func:`eval_ngrams` frame (single ``gram`` column).
+    """
+    if eval_df.columns == ["gram"]:
+        grams = eval_df
+    else:
+        grams = eval_ngrams(eval_df, n, text_col=text_col,
+                            lowercase=lowercase)
+
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, n, lowercase)).alias("gram"))
+
+    if hashed:
+        grams = grams.select(F.xxhash64("gram").alias("gk")).distinct()
+        doc_grams = doc_grams.select(id_col,
+                                     F.xxhash64("gram").alias("gram"))
+        grams = grams.withColumnRenamed("gk", "gram")
+
+    hits = (
+        doc_grams.join(F.broadcast(grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"),
+             F.count_distinct("gram").alias("n_distinct_hits"))
+    )
+    base = corpus.select(
+        F.col(id_col),
+        F.size(word_ngrams(text_col, n, lowercase)).cast("long")
+        .alias("n_grams"))
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("n_distinct_hits", F.lit(0)).cast("long")
+            .alias("n_distinct_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("is_contaminated"),
+        )
+    )
+
+
+def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  lowercase: bool = True, hashed: bool = False) -> DataFrame:
+    """Corpus minus every document sharing ≥1 word n-gram with the eval
+    set — the drop-on-any-overlap policy. Plan shape: the corpus scans
+    once; contaminated ids (a trickle) anti-join back on the id."""
+    if eval_df.columns == ["gram"]:
+        grams = eval_df
+    else:
+        grams = eval_ngrams(eval_df, n, text_col=text_col,
+                            lowercase=lowercase)
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(word_ngrams(text_col, n, lowercase)).alias("gram"))
+    if hashed:
+        grams = grams.select(F.xxhash64("gram").alias("gram")).distinct()
+        doc_grams = doc_grams.select(id_col,
+                                     F.xxhash64("gram").alias("gram"))
+    bad_ids = (doc_grams.join(F.broadcast(grams), "gram")
+               .select(id_col).distinct())
+    return corpus.join(bad_ids, id_col, "left_anti")
