@@ -44,7 +44,12 @@ from doppel_spark.functions.text import (  # noqa: E402
     token_count,
     word_token_count,
 )
+from doppel_spark.functions.urls import (  # noqa: E402
+    TRACKING_PARAM_REGEX,
+    url_dup_groups,
+)
 from doppel_spark.operators.dedup import (  # noqa: E402
+    cross_snapshot_new,
     dedup_assignments,
     dedup_stats,
 )
@@ -503,6 +508,61 @@ def _q_training_cut_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split") == "train")
         .drop("split")
     )
+
+
+def _url_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL-variant corpus (mirrored by the oracle CTE):
+    doc_ids in blocks of 4 map to article ``k = doc_id div 4``; variants
+    0/1 are the same news article under case/www/port/fragment/tracking
+    /param-order differences, variants 2/3 the same blog post under
+    case/port/tracking differences — each block must collapse to
+    exactly two canonical pages."""
+    k = F.floor(F.col("doc_id") / 4).cast("long")
+    ks = k.cast("string")
+    ms = (k % 100).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://WWW.News.Example.COM:443/articles/"), ks,
+            F.lit("/?utm_source=feed&z=1&id="), ms, F.lit("#top")))
+        .when(v == 1, F.concat(
+            F.lit("https://news.example.com/articles/"), ks,
+            F.lit("?id="), ms, F.lit("&z=1")))
+        .when(v == 2, F.concat(
+            F.lit("http://Blog.example.org:80/post/"), ks,
+            F.lit("?utm_campaign=x&ref=tw")))
+        .otherwise(F.concat(F.lit("http://blog.example.org/post/"), ks))
+    )
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+
+
+def _q_url_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refetch-dup groups by canonical URL: scheme/host case, ``www.``,
+    default ports, fragments, tracking params, and param order all
+    collapse — the zero-content-bytes first stage of web dedup."""
+    return url_dup_groups(_url_pages(spark, sf_dir),
+                          url_col="url", id_col="doc_id")
+
+
+#: offset marking refetched rows in the incremental-crawl plant
+INCR_REFETCH_OFFSET = 1_000_000
+
+
+def _q_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup: the prior crawl is docs with
+    ``doc_id % 5 != 0``; the incoming batch is the remaining docs plus
+    planted refetches (``doc_id % 5 == 1`` texts under new ids). Only
+    content never seen before survives the digest anti-join — every
+    refetch must drop, every genuinely-new doc must pass (all sf-table
+    texts are distinct, probed at every SF)."""
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 5 != 0)
+    refetch = (docs.filter(F.col("doc_id") % 5 == 1)
+               .withColumn("doc_id",
+                           F.col("doc_id") + F.lit(INCR_REFETCH_OFFSET)))
+    incoming = docs.filter(F.col("doc_id") % 5 == 0).unionByName(refetch)
+    return cross_snapshot_new(incoming, seen, id_col="doc_id") \
+        .select("doc_id", "lang", "n_chars")
 
 
 # --- rows-only (hash-function-defined; no ANSI-SQL oracle possible) --------
@@ -1147,6 +1207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": _q_split_assign,
         "stratified_sample_lang": _q_stratified_sample_lang,
         "training_cut_funnel": _q_training_cut_funnel,
+        "url_canonical_dups": _q_url_canonical_dups,
+        "incremental_new_docs": _q_incremental_new_docs,
     }
 
 
@@ -1864,6 +1926,79 @@ def oracle_sql() -> dict[str, str]:
             FROM fin
             WHERE {_split_case_sql('doc_id', SPLIT_WEIGHTS, SPLIT_SEED)}
                   = 'train'
+        """,
+        # Mirrors canonicalize_url LITERALLY (same regexes, same
+        # filter/sort/join pipeline — urls.py keeps every pattern in the
+        # RE2-compatible subset so this is possible), over the same
+        # deterministic URL-variant construction as _url_pages.
+        "url_canonical_dups": f"""
+            WITH pages AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                  WHEN 0 THEN 'HTTPS://WWW.News.Example.COM:443/articles/'
+                              || CAST(doc_id // 4 AS VARCHAR)
+                              || '/?utm_source=feed&z=1&id='
+                              || CAST((doc_id // 4) % 100 AS VARCHAR) || '#top'
+                  WHEN 1 THEN 'https://news.example.com/articles/'
+                              || CAST(doc_id // 4 AS VARCHAR) || '?id='
+                              || CAST((doc_id // 4) % 100 AS VARCHAR) || '&z=1'
+                  WHEN 2 THEN 'http://Blog.example.org:80/post/'
+                              || CAST(doc_id // 4 AS VARCHAR)
+                              || '?utm_campaign=x&ref=tw'
+                  ELSE 'http://blog.example.org/post/'
+                       || CAST(doc_id // 4 AS VARCHAR)
+                END AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+                regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+              FROM pages
+            ), canon AS (
+              SELECT doc_id,
+                scheme || '://'
+                || CASE scheme
+                     WHEN 'http' THEN regexp_replace(
+                       regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+                     WHEN 'https' THEN regexp_replace(
+                       regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+                     ELSE regexp_replace(hostport, '^www\\.', '')
+                   END
+                || regexp_replace(rawpath, '/+$', '')
+                || CASE WHEN len(list_filter(string_split(rawq, '&'),
+                         p -> p <> '' AND NOT regexp_matches(p,
+                           '{TRACKING_PARAM_REGEX}'))) > 0
+                        THEN '?' || array_to_string(
+                          list_sort(list_filter(string_split(rawq, '&'),
+                            p -> p <> '' AND NOT regexp_matches(p,
+                              '{TRACKING_PARAM_REGEX}'))), '&')
+                        ELSE '' END AS canonical_url
+              FROM parts
+            )
+            SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+                   min(doc_id) AS rep_id
+            FROM canon GROUP BY 1 HAVING count(*) > 1
+        """,
+        "incremental_new_docs": f"""
+            WITH seen AS (
+              SELECT DISTINCT sha256(text) AS digest
+              FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL
+            ), incoming AS (
+              SELECT doc_id, lang, n_chars, text
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + {INCR_REFETCH_OFFSET} AS doc_id, lang, n_chars,
+                     text
+              FROM documents WHERE doc_id % 5 = 1
+            )
+            SELECT doc_id, lang, n_chars FROM incoming
+            WHERE text IS NULL
+               OR sha256(text) NOT IN (SELECT digest FROM seen)
         """,
         # minhash_lsh_clusters / simhash_fingerprints / simhash_near_pairs /
         # substring_pairs / doc_fingerprints / ann_topk_lsh / ann_topk_ivf /

@@ -1,0 +1,89 @@
+"""URL canonicalization — the web-native analogue of doppel's
+"same content under different names" problem.
+
+The reference dedups *files* whose paths differ but whose bytes match
+(/root/reference/internal/scanner/finder.go:114-143). On a web corpus
+the first-order version of that problem is URLs: the same page is
+crawled under scheme/host case variants, ``www.`` aliases, default
+ports, fragments, tracking parameters, and param orderings. Collapsing
+those BEFORE content hashing removes refetch duplicates without
+touching a single text byte — at 100 TB the cheapest dedup is the one
+that never reads the content column.
+
+Every rule here is a pure Catalyst expression (regexp_extract /
+higher-order array ops — JVM-side, codegen'd, zero Python), and every
+regex is written in the RE2-compatible subset (no backreferences, no
+lookaround) so the DuckDB oracle can mirror it literally.
+
+Canonical form produced:
+
+* scheme and host lowercased; a leading ``www.`` stripped
+* default port stripped (``:80`` for http, ``:443`` for https)
+* fragment dropped
+* tracking parameters dropped (``utm_*``, ``ref``, ``fbclid``,
+  ``gclid``), remaining parameters **sorted** byte-wise
+* trailing slashes stripped from the path
+
+Deliberately NOT done (they need per-registry data or alter semantics):
+IDN/punycode folding, %-escape normalization, path dot-segment
+resolution, param-value case folding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: dropped query parameters (tracking/attribution — never content-bearing)
+TRACKING_PARAM_REGEX = r"^(utm_[A-Za-z0-9_]+|ref|fbclid|gclid)="
+
+_SCHEME = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY = r"\?([^#]*)"
+
+
+def _col(url: Column | str) -> Column:
+    return F.col(url) if isinstance(url, str) else url
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL as a single Catalyst expression tree.
+
+    ``regexp_extract`` returns ``''`` on no-match in both Spark and
+    DuckDB, so absent components fold away without NULL plumbing.
+    """
+    u = _col(url)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME, 1))
+    hostport = F.lower(F.regexp_extract(u, _HOSTPORT, 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(host, ":443$", "")) \
+        .otherwise(host)
+    path = F.regexp_replace(F.regexp_extract(u, _PATH, 1), "/+$", "")
+    params = F.filter(
+        F.split(F.regexp_extract(u, _QUERY, 1), "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_REGEX),
+    )
+    qs = F.when(F.size(params) > 0,
+                F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&"))
+                ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qs)
+
+
+def url_dup_groups(df, url_col: str = "url", id_col: str = "doc_id"):
+    """Groups of rows whose URLs canonicalize to the same page.
+
+    Scale shape: project ``(id, canonical)`` first — the content column
+    never enters the shuffle — then one groupBy on the canonical string
+    with a ``HAVING n > 1`` cut, exactly the reference's group-then-
+    filter funnel (finder.go:47-58) keyed on canonical URL instead of
+    file size. Survivor = min id, deterministic under repartitioning.
+    """
+    slim = df.select(F.col(id_col),
+                     canonicalize_url(url_col).alias("canonical_url"))
+    return (
+        slim.groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_urls"), F.min(id_col).alias("rep_id"))
+        .filter(F.col("n_urls") > 1)
+    )

@@ -113,6 +113,41 @@ def ngram_jaccard_dedup(
     return clusters_with_singletons(comps, df, id_col=id_col)
 
 
+def cross_snapshot_new(incoming: DataFrame, seen: DataFrame,
+                       id_col: str = "url",
+                       text_col: str = "text") -> DataFrame:
+    """Incoming rows whose content was never seen in a prior snapshot.
+
+    The incremental-crawl workhorse: a 100 TB corpus is not deduped
+    from scratch per crawl — each new snapshot is anti-joined against
+    the accumulated content-digest set and only genuinely-new content
+    proceeds down the funnel (≈ the reference's "skip files already in
+    a known group" early exit, /root/reference/internal/scanner/
+    finder.go:84-96, across *runs* instead of within one).
+
+    Scale shape: both sides project to digests before anything moves —
+    the seen side shuffles 32-byte digests only (pre-distinct'd, so a
+    snapshot with heavy internal duplication contributes each digest
+    once), the incoming side shuffles (id, digest), and the anti-join
+    output semi-joins back to the full incoming rows by id. In
+    production the seen side is a maintained digest table (Iceberg),
+    not a re-scan; this function takes whatever frame represents it.
+
+    NULL incoming text is always "new" (per-row sentinel digest — an
+    unreadable row must not be swallowed by another error row);
+    NULL seen text never blocks anything.
+    """
+    inc = incoming.select(F.col(id_col),
+                          _digest_or_sentinel(text_col, id_col).alias("digest"))
+    seen_digests = (
+        seen.select(full_digest(text_col).alias("digest"))
+        .filter(F.col("digest").isNotNull())
+        .distinct()
+    )
+    new_ids = inc.join(seen_digests, "digest", "left_anti").select(id_col)
+    return incoming.join(new_ids, id_col, "left_semi")
+
+
 def dedup_stats(assignments: DataFrame, id_col: str = "url") -> DataFrame:
     """One-row summary: total, kept, removed, dup groups (>1 member)."""
     agg = assignments.agg(

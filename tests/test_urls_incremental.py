@@ -1,0 +1,103 @@
+"""URL canonicalization + cross-snapshot incremental dedup.
+
+The web-native first stage of doppel's "same content, different names"
+funnel (/root/reference/internal/scanner/finder.go:114-143): collapse
+URL aliases before any content byte is read, and anti-join a new crawl
+snapshot against the accumulated digest set.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from doppel_spark.functions.urls import canonicalize_url, url_dup_groups
+from doppel_spark.operators.dedup import cross_snapshot_new
+
+
+def _canon_one(spark, url: str) -> str:
+    return (
+        spark.range(1)
+        .select(canonicalize_url(F.lit(url)).alias("c"))
+        .first()["c"]
+    )
+
+
+CASES = [
+    # scheme + host case, www, default port, fragment, tracking, order
+    ("HTTPS://WWW.Ex.COM:443/a/?utm_source=x&b=2&a=1#frag",
+     "https://ex.com/a?a=1&b=2"),
+    # http default port; params already canonical stay put
+    ("http://ex.com:80/a?a=1&b=2", "http://ex.com/a?a=1&b=2"),
+    # non-default port survives
+    ("http://ex.com:8080/a", "http://ex.com:8080/a"),
+    # :443 on http is NOT a default port — must survive
+    ("http://ex.com:443/a", "http://ex.com:443/a"),
+    # tracking-only query collapses to no query at all
+    ("https://ex.com/p?utm_campaign=x&ref=tw&fbclid=abc&gclid=1",
+     "https://ex.com/p"),
+    # ref=... dropped but pref=... kept (anchored match, not substring)
+    ("https://ex.com/p?pref=1&ref=2", "https://ex.com/p?pref=1"),
+    # repeated trailing slashes; empty path stays empty
+    ("https://ex.com///", "https://ex.com"),
+    ("https://ex.com", "https://ex.com"),
+    # www only stripped as a label prefix
+    ("https://wwwx.ex.com/a", "https://wwwx.ex.com/a"),
+    # other schemes: port untouched, same query rules
+    ("FTP://Ex.COM:21/f?b=1&a=2", "ftp://ex.com:21/f?a=2&b=1"),
+    # empty params from && are dropped
+    ("https://ex.com/a?&&b=1", "https://ex.com/a?b=1"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_canonicalize_url(spark, raw, expected):
+    assert _canon_one(spark, raw) == expected
+
+
+def test_url_dup_groups(spark):
+    rows = [
+        (1, "https://Ex.com/a?utm_source=x"),
+        (2, "https://ex.com/a/"),
+        (3, "https://ex.com/b"),          # singleton — filtered
+        (4, "HTTP://WWW.ex.com:80/c#x"),
+        (5, "http://ex.com/c"),
+        (6, "http://ex.com/c?z=1"),       # different query → different page
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["canonical_url"]: (r["n_urls"], r["rep_id"])
+           for r in url_dup_groups(df).collect()}
+    assert got == {
+        "https://ex.com/a": (2, 1),
+        "http://ex.com/c": (2, 4),
+    }
+
+
+def test_cross_snapshot_new(spark):
+    seen = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, None)],
+        "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(10, "alpha"),    # refetch — drops
+         (11, "gamma"),    # new — survives
+         (12, None),       # NULL text — always new (sentinel digest)
+         (13, None)],      # second NULL must NOT collide with 12's
+        "doc_id long, text string")
+    got = sorted(r["doc_id"] for r in
+                 cross_snapshot_new(incoming, seen, id_col="doc_id").collect())
+    assert got == [11, 12, 13]
+    # full rows pass through, not just ids
+    cols = cross_snapshot_new(incoming, seen, id_col="doc_id").columns
+    assert cols == ["doc_id", "text"]
+
+
+def test_cross_snapshot_new_duplicated_seen_side(spark):
+    """A seen snapshot with heavy internal duplication is distinct'd
+    before the anti-join — same answer, one digest per content."""
+    seen = spark.createDataFrame(
+        [(i, "same") for i in range(50)], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(100, "same"), (101, "other")], "doc_id long, text string")
+    got = [r["doc_id"] for r in
+           cross_snapshot_new(incoming, seen, id_col="doc_id").collect()]
+    assert got == [101]
