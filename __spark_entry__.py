@@ -46,6 +46,7 @@ from doppel_spark.functions.text import (  # noqa: E402
 )
 from doppel_spark.functions.urls import (  # noqa: E402
     TRACKING_PARAM_REGEX,
+    host_profile,
     url_dup_groups,
 )
 from doppel_spark.operators.dedup import (  # noqa: E402
@@ -533,7 +534,17 @@ def _url_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("?utm_campaign=x&ref=tw")))
         .otherwise(F.concat(F.lit("http://blog.example.org/post/"), ks))
     )
-    return _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return _docs(spark, sf_dir).select("doc_id", url.alias("url"), "n_chars")
+
+
+def _q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus profile over the URL-variant corpus: the
+    domain-curation stage (docs-per-domain caps, spam-farm dup ratios).
+    Two hosts by construction; every (n_urls, n_pages, n_dup_urls,
+    total_size) cell is value-checked against the literally-mirrored
+    canonicalization in DuckDB."""
+    return host_profile(_url_pages(spark, sf_dir),
+                        url_col="url", size_col="n_chars")
 
 
 def _q_url_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,11 +1220,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_cut_funnel": _q_training_cut_funnel,
         "url_canonical_dups": _q_url_canonical_dups,
         "incremental_new_docs": _q_incremental_new_docs,
+        "host_profile": _q_host_profile,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracles
+
+
+#: DuckDB mirror of the _url_pages construction + canonicalize_url/host_of
+#: pipelines (urls.py) — literal regex-for-regex; shared by the
+#: url_canonical_dups and host_profile oracles.
+_URL_CANON_CTES = f"""pages AS (
+              SELECT doc_id, n_chars,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                  WHEN 0 THEN 'HTTPS://WWW.News.Example.COM:443/articles/'
+                              || CAST(doc_id // 4 AS VARCHAR)
+                              || '/?utm_source=feed&z=1&id='
+                              || CAST((doc_id // 4) % 100 AS VARCHAR) || '#top'
+                  WHEN 1 THEN 'https://news.example.com/articles/'
+                              || CAST(doc_id // 4 AS VARCHAR) || '?id='
+                              || CAST((doc_id // 4) % 100 AS VARCHAR) || '&z=1'
+                  WHEN 2 THEN 'http://Blog.example.org:80/post/'
+                              || CAST(doc_id // 4 AS VARCHAR)
+                              || '?utm_campaign=x&ref=tw'
+                  ELSE 'http://blog.example.org/post/'
+                       || CAST(doc_id // 4 AS VARCHAR)
+                END AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, n_chars,
+                lower(regexp_extract(url,
+                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+                regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+                regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+              FROM pages
+            ), canon AS (
+              SELECT doc_id, n_chars,
+                regexp_replace(regexp_replace(hostport, '^www\\.', ''),
+                               ':[0-9]+$', '') AS host,
+                scheme || '://'
+                || CASE scheme
+                     WHEN 'http' THEN regexp_replace(
+                       regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+                     WHEN 'https' THEN regexp_replace(
+                       regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+                     ELSE regexp_replace(hostport, '^www\\.', '')
+                   END
+                || regexp_replace(rawpath, '/+$', '')
+                || CASE WHEN len(list_filter(string_split(rawq, '&'),
+                         p -> p <> '' AND NOT regexp_matches(p,
+                           '{TRACKING_PARAM_REGEX}'))) > 0
+                        THEN '?' || array_to_string(
+                          list_sort(list_filter(string_split(rawq, '&'),
+                            p -> p <> '' AND NOT regexp_matches(p,
+                              '{TRACKING_PARAM_REGEX}'))), '&')
+                        ELSE '' END AS canonical_url
+              FROM parts
+            )"""
 
 
 def _lang_hits_sql(lang: str) -> str:
@@ -1927,62 +1994,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_split_case_sql('doc_id', SPLIT_WEIGHTS, SPLIT_SEED)}
                   = 'train'
         """,
-        # Mirrors canonicalize_url LITERALLY (same regexes, same
+        # Mirrors canonicalize_url/host_of LITERALLY (same regexes, same
         # filter/sort/join pipeline — urls.py keeps every pattern in the
         # RE2-compatible subset so this is possible), over the same
         # deterministic URL-variant construction as _url_pages.
         "url_canonical_dups": f"""
-            WITH pages AS (
-              SELECT doc_id,
-                CASE CAST(doc_id % 4 AS INTEGER)
-                  WHEN 0 THEN 'HTTPS://WWW.News.Example.COM:443/articles/'
-                              || CAST(doc_id // 4 AS VARCHAR)
-                              || '/?utm_source=feed&z=1&id='
-                              || CAST((doc_id // 4) % 100 AS VARCHAR) || '#top'
-                  WHEN 1 THEN 'https://news.example.com/articles/'
-                              || CAST(doc_id // 4 AS VARCHAR) || '?id='
-                              || CAST((doc_id // 4) % 100 AS VARCHAR) || '&z=1'
-                  WHEN 2 THEN 'http://Blog.example.org:80/post/'
-                              || CAST(doc_id // 4 AS VARCHAR)
-                              || '?utm_campaign=x&ref=tw'
-                  ELSE 'http://blog.example.org/post/'
-                       || CAST(doc_id // 4 AS VARCHAR)
-                END AS url
-              FROM documents
-            ), parts AS (
-              SELECT doc_id,
-                lower(regexp_extract(url,
-                  '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                lower(regexp_extract(url,
-                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
-                regexp_extract(url,
-                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
-                regexp_extract(url, '\\?([^#]*)', 1) AS rawq
-              FROM pages
-            ), canon AS (
-              SELECT doc_id,
-                scheme || '://'
-                || CASE scheme
-                     WHEN 'http' THEN regexp_replace(
-                       regexp_replace(hostport, '^www\\.', ''), ':80$', '')
-                     WHEN 'https' THEN regexp_replace(
-                       regexp_replace(hostport, '^www\\.', ''), ':443$', '')
-                     ELSE regexp_replace(hostport, '^www\\.', '')
-                   END
-                || regexp_replace(rawpath, '/+$', '')
-                || CASE WHEN len(list_filter(string_split(rawq, '&'),
-                         p -> p <> '' AND NOT regexp_matches(p,
-                           '{TRACKING_PARAM_REGEX}'))) > 0
-                        THEN '?' || array_to_string(
-                          list_sort(list_filter(string_split(rawq, '&'),
-                            p -> p <> '' AND NOT regexp_matches(p,
-                              '{TRACKING_PARAM_REGEX}'))), '&')
-                        ELSE '' END AS canonical_url
-              FROM parts
-            )
+            WITH {_URL_CANON_CTES}
             SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
                    min(doc_id) AS rep_id
             FROM canon GROUP BY 1 HAVING count(*) > 1
+        """,
+        "host_profile": f"""
+            WITH {_URL_CANON_CTES}
+            SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT canonical_url) AS BIGINT) AS n_pages,
+                   CAST(count(*) - count(DISTINCT canonical_url) AS BIGINT)
+                     AS n_dup_urls,
+                   CAST(sum(n_chars) AS BIGINT) AS total_size
+            FROM canon GROUP BY 1
         """,
         "incremental_new_docs": f"""
             WITH seen AS (

@@ -87,3 +87,53 @@ def url_dup_groups(df, url_col: str = "url", id_col: str = "doc_id"):
         .agg(F.count(F.lit(1)).alias("n_urls"), F.min(id_col).alias("rep_id"))
         .filter(F.col("n_urls") > 1)
     )
+
+
+def host_of(url: Column | str) -> Column:
+    """Registrable-host key: lowercased, ``www.``-stripped, port-less.
+
+    The grouping key for domain-level curation — spam/SEO-farm cuts,
+    per-site crawl quotas, robots policies. Deliberately NOT public-
+    suffix-aware (that needs the PSL, a data file, not an algorithm);
+    at 100 TB the host string is already the right 99% key.
+    """
+    u = _col(url)
+    host = F.lower(F.regexp_extract(u, _HOSTPORT, 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    return F.regexp_replace(host, r":[0-9]+$", "")
+
+
+def host_profile(df, url_col: str = "url", size_col: str | None = None,
+                 id_col: str = "doc_id"):
+    """Per-host corpus profile: url count, distinct canonical pages,
+    refetch-duplicate count, optional total content size.
+
+    The domain-curation workhorse (docs-per-domain caps, spam-farm
+    detection by dup ratio). Scale shape: one projection to
+    ``(host, canonical, size)`` — text never moves — then a single
+    groupBy(host). Both ``count`` and ``sum`` combine map-side;
+    ``count_distinct`` runs as Spark's standard two-level partial
+    aggregate. Hosts are the classic skewed key (a handful of giant
+    sites); the groupBy is safe because the per-host state is O(1)
+    scalars + the distinct-page HLL-sized set — for exact distincts on
+    a pathological host, pre-aggregate by (host, canonical) first,
+    which :mod:`doppel_spark.operators.salting` generalizes.
+
+    ``n_dup_urls`` = urls over distinct pages in excess, i.e.
+    ``n_urls - n_pages`` — the refetch waste the URL-canonical stage
+    (url_dup_groups) would reclaim, attributed per host.
+    """
+    slim = df.select(
+        host_of(url_col).alias("host"),
+        canonicalize_url(url_col).alias("canonical_url"),
+        *( [F.col(size_col)] if size_col else [] ),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct(F.col("canonical_url")).alias("n_pages"),
+        (F.count(F.lit(1))
+         - F.count_distinct(F.col("canonical_url"))).alias("n_dup_urls"),
+    ]
+    if size_col:
+        aggs.append(F.sum(size_col).cast("long").alias("total_size"))
+    return slim.groupBy("host").agg(*aggs)

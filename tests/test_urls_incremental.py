@@ -11,7 +11,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from doppel_spark.functions.urls import canonicalize_url, url_dup_groups
+from doppel_spark.functions.urls import (
+    canonicalize_url,
+    host_of,
+    host_profile,
+    url_dup_groups,
+)
 from doppel_spark.operators.dedup import cross_snapshot_new
 
 
@@ -71,6 +76,41 @@ def test_url_dup_groups(spark):
         "https://ex.com/a": (2, 1),
         "http://ex.com/c": (2, 4),
     }
+
+
+def test_host_of(spark):
+    rows = [
+        ("HTTPS://WWW.Ex.COM:443/a", "ex.com"),
+        ("http://ex.com:8080/a", "ex.com"),     # ANY port stripped for host key
+        ("https://sub.ex.com/a", "sub.ex.com"),
+        ("https://wwwx.ex.com/a", "wwwx.ex.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    got = [r["h"] for r in df.select(host_of("url").alias("h")).collect()]
+    assert got == [e for _, e in rows]
+
+
+def test_host_profile(spark):
+    rows = [
+        (1, "https://Ex.com/a?utm_source=x", 10),
+        (2, "https://ex.com/a/", 20),            # same page as 1
+        (3, "https://ex.com/b", 30),
+        (4, "http://other.org/c", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, sz long")
+    got = {r["host"]: (r["n_urls"], r["n_pages"], r["n_dup_urls"],
+                       r["total_size"])
+           for r in host_profile(df, size_col="sz").collect()}
+    assert got == {"ex.com": (3, 2, 1, 60), "other.org": (1, 1, 0, 5)}
+
+
+def test_host_profile_no_size(spark):
+    df = spark.createDataFrame([(1, "https://ex.com/a")],
+                               "doc_id long, url string")
+    row = host_profile(df).collect()[0]
+    assert (row["host"], row["n_urls"], row["n_pages"],
+            row["n_dup_urls"]) == ("ex.com", 1, 1, 0)
+    assert "total_size" not in host_profile(df).columns
 
 
 def test_cross_snapshot_new(spark):
