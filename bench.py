@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -71,6 +72,32 @@ def _execute(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def host_probe() -> dict:
+    """Spark-free snapshot of the host's two noise axes, ~2 s total.
+
+    This box's co-tenant slow mode is **per-task-dispatch / process-
+    spawn latency**, not CPU throughput (BENCH/NOTES_r5.md): a probe
+    pair taken before and after the sweeps lets a reader tell "engine
+    regressed" from "host was in the slow mode" without re-running
+    anything. ``cpu_sec`` = fixed integer busy loop (flat across modes);
+    ``spawn_sec`` = 3 × fork/exec of a no-op interpreter (inflates
+    10–40× in the slow mode, the same axis that taxes Spark task
+    dispatch and Python-worker startup).
+    """
+    t0 = time.time()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 1_000_003 + i) & 0xFFFFFFFFFFFF
+    cpu = time.time() - t0
+    t0 = time.time()
+    for _ in range(3):
+        subprocess.run([sys.executable, "-c", "pass"], check=True,
+                       capture_output=True)
+    spawn = time.time() - t0
+    return {"cpu_sec": round(cpu, 3), "spawn_sec": round(spawn, 3),
+            "acc": acc}
+
+
 def flagship_neardup(spark, n_docs: int) -> dict:
     """Near-dup clustering over the synthetic pages corpus, timed.
 
@@ -103,6 +130,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
 
+    probe_before = host_probe()
     spark = get_spark(app_name="doppel_spark_bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     qs = entrymod.queries()
@@ -146,6 +174,10 @@ def main() -> None:
         "sf_docs": n_docs,
         "flagship": {**flag_best, "raw_sec": raw["flagship_neardup"]},
         "docs_per_sec": flag_best["docs_per_sec"],
+        # host-mode snapshot (see host_probe): spawn_sec >> ~0.1 means
+        # the co-tenant slow mode was active and walls here overstate
+        # engine cost — read queries_raw best-of, not single samples
+        "host_probe": {"before": probe_before, "after": host_probe()},
     }))
 
 

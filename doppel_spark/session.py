@@ -121,6 +121,17 @@ def get_spark(
         .config("spark.driver.extraJavaOptions",
                 os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS",
                                "-XX:+UseParallelGC"))
+        # In local mode the "executor" IS the driver, so losing it to a
+        # missed heartbeat is pure self-harm — and this hypervisor-
+        # shared host can starve the heartbeat thread for minutes (a
+        # 3.6M-doc local[1] run died at heartbeat 274s > timeout 120s:
+        # HeartbeatReceiver removed executor "driver", context shut
+        # down mid-job). 10 min tolerates the observed stalls; on a
+        # real cluster these two are legitimate tuning anyway (survive
+        # long GC pauses / co-tenant blips instead of re-running a
+        # 100 TB stage).
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "30s")
     )
     for k, v in _malloc_env.items():
         builder = builder.config(f"spark.executorEnv.{k}", os.environ[k])

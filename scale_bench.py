@@ -119,15 +119,21 @@ def host_ratio(fn, lo: int, hi: int, tries: int = 5) -> float:
 def ensure_corpus(n_docs: int) -> str:
     path = str(REPO / ".bench" / f"pages_{n_docs}.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        sys.path.insert(0, str(REPO))
-        from doppel_spark.corpus import synth_pages
-        from doppel_spark.session import get_spark
-
-        spark = get_spark(app_name="scale_bench_gen", master="local[32]",
-                          shuffle_partitions=32)
-        synth_pages(spark, n_docs, num_partitions=64) \
-            .write.mode("overwrite").parquet(path)
-        spark.stop()
+        # generate in a SUBPROCESS: an in-process SparkSession leaves its
+        # py4j gateway JVM alive (and ~17 GB resident at 3.6M docs) for
+        # the rest of the campaign even after spark.stop() — measured
+        # squatting alongside every level run of the 2026-08-18 campaign
+        gen = (
+            "import sys; sys.path.insert(0, {repo!r})\n"
+            "from doppel_spark.corpus import synth_pages\n"
+            "from doppel_spark.session import get_spark\n"
+            "spark = get_spark(app_name='scale_bench_gen',"
+            " master='local[32]', shuffle_partitions=32)\n"
+            "synth_pages(spark, {n}, num_partitions=64)"
+            ".write.mode('overwrite').parquet({path!r})\n"
+            "spark.stop()\n"
+        ).format(repo=str(REPO), n=n_docs, path=path)
+        subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO)
     return path
 
 
