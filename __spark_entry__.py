@@ -54,6 +54,10 @@ from doppel_spark.operators.dedup import (  # noqa: E402
     dedup_assignments,
     dedup_stats,
 )
+from doppel_spark.operators.quota import (  # noqa: E402
+    HOST_CAP_SEED,
+    cap_per_host,
+)
 from doppel_spark.operators.contamination import (  # noqa: E402
     WS_CLASS as CONTAM_WS,
     contamination_report,
@@ -545,6 +549,19 @@ def _q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalization in DuckDB."""
     return host_profile(_url_pages(spark, sf_dir),
                         url_col="url", size_col="n_chars")
+
+
+#: docs-per-domain cap for the host_cap_sample contract query
+HOST_CAP_K = 30
+
+
+def _q_host_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs-per-domain cap over the URL-variant corpus: each of the two
+    hosts keeps exactly HOST_CAP_K deterministically-chosen pages (the
+    k smallest md5-bucket ranks — the engine-portable uniform draw), so
+    the oracle value-checks the exact selection, not just the count."""
+    return cap_per_host(_url_pages(spark, sf_dir), k=HOST_CAP_K) \
+        .select("doc_id", "n_chars")
 
 
 def _q_url_canonical_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dups": _q_url_canonical_dups,
         "incremental_new_docs": _q_incremental_new_docs,
         "host_profile": _q_host_profile,
+        "host_cap_sample": _q_host_cap_sample,
     }
 
 
@@ -2012,6 +2030,18 @@ def oracle_sql() -> dict[str, str]:
                      AS n_dup_urls,
                    CAST(sum(n_chars) AS BIGINT) AS total_size
             FROM canon GROUP BY 1
+        """,
+        "host_cap_sample": f"""
+            WITH {_URL_CANON_CTES},
+            ranked AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY {_bucket_sql('doc_id', HOST_CAP_SEED)},
+                                doc_id) AS rk
+              FROM canon
+            )
+            SELECT doc_id, n_chars FROM ranked WHERE rk <= {HOST_CAP_K}
         """,
         "incremental_new_docs": f"""
             WITH seen AS (
