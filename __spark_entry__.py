@@ -58,6 +58,11 @@ from doppel_spark.operators.quota import (  # noqa: E402
     HOST_CAP_SEED,
     cap_per_host,
 )
+from doppel_spark.operators.budget import (  # noqa: E402
+    BUDGET_SEED,
+    token_budget_sample,
+)
+from doppel_spark.operators.dedup import keep_best  # noqa: E402
 from doppel_spark.operators.contamination import (  # noqa: E402
     WS_CLASS as CONTAM_WS,
     contamination_report,
@@ -549,6 +554,49 @@ def _q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalization in DuckDB."""
     return host_profile(_url_pages(spark, sf_dir),
                         url_col="url", size_col="n_chars")
+
+
+def _q_dedup_keep_best_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keep-canonical, non-vacuous by construction: the
+    corpus is unioned with a re-keyed copy whose text is doubled
+    (``text || ' ' || text``), making every cluster a 2-member group
+    with genuinely different quality scores on the two sides: doubling
+    halves the repetition signal (copy loses) but also doubles the
+    token count, which flips the ≥20-token length gate for short docs
+    (copy wins) — at sf0.01 both outcomes occur (457/43), so the query
+    value-checks real per-cluster argmax decisions, not a constant
+    policy. The oracle mirrors the construction, the clustering key,
+    and the full quality formula literally (the raw fixtures have no
+    dup groups at all, which would make a straight keep-best query
+    vacuous)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    copy = docs.select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat("text", F.lit(" "), "text").alias("text"),
+        "n_chars",
+    )
+    both = docs.union(copy)
+    return keep_best(
+        both,
+        F.pmod(F.col("doc_id"), F.lit(1_000_000)),
+        quality_score_micros("text"),
+        id_col="doc_id",
+    ).select("doc_id", "n_chars")
+
+
+def _q_token_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget prefix cut at 2/5 of the corpus's
+    total whitespace-token count (integer math on both sides, so the
+    threshold is scale-independent and bit-identical to the oracle).
+    The driver-side per-block cumsum makes this non-SQL internally, but
+    the SEMANTICS are one window — mirrored exactly in DuckDB."""
+    docs = _docs(spark, sf_dir)
+    total = int(docs.select(
+        F.sum(token_count("text")).alias("t")).collect()[0]["t"] or 0)
+    budget = (2 * total) // 5
+    return token_budget_sample(
+        docs, budget, token_count("text"), id_col="doc_id",
+    ).select("doc_id", "n_chars")
 
 
 #: docs-per-domain cap for the host_cap_sample contract query
@@ -1239,6 +1287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_new_docs": _q_incremental_new_docs,
         "host_profile": _q_host_profile,
         "host_cap_sample": _q_host_cap_sample,
+        "dedup_keep_best_planted": _q_dedup_keep_best_planted,
+        "token_budget_cut": _q_token_budget_cut,
     }
 
 
@@ -1319,7 +1369,7 @@ def _lang_id_sql() -> str:
     """
 
 
-def _quality_sql() -> str:
+def _quality_sql(source: str = "documents") -> str:
     all_stops = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
     stops = ", ".join(f"'{w}'" for w in all_stops)
     return f"""
@@ -1332,7 +1382,7 @@ def _quality_sql() -> str:
              CAST(length(text) AS DOUBLE) AS n_chars_d,
              CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
                   AS DOUBLE) AS n_punct
-      FROM documents
+      FROM {source}
     ), s AS (
       SELECT doc_id,
              CASE WHEN n >= 20 AND n <= 100000 THEN 1.0 ELSE 0.0 END AS len_ok,
@@ -2042,6 +2092,41 @@ def oracle_sql() -> dict[str, str]:
               FROM canon
             )
             SELECT doc_id, n_chars FROM ranked WHERE rk <= {HOST_CAP_K}
+        """,
+        "dedup_keep_best_planted": f"""
+            WITH unioned AS (
+              SELECT doc_id, text, n_chars FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id,
+                     text || ' ' || text AS text, n_chars
+              FROM documents
+            ),
+            q AS ({_quality_sql("unioned")}),
+            r AS (
+              SELECT b.doc_id, b.n_chars,
+                     row_number() OVER (
+                       PARTITION BY b.doc_id % 1000000
+                       ORDER BY q.quality_micros DESC, b.doc_id) AS rk
+              FROM unioned b JOIN q USING (doc_id)
+            )
+            SELECT doc_id, n_chars FROM r WHERE rk = 1
+        """,
+        "token_budget_cut": f"""
+            WITH tk AS (
+              SELECT doc_id, n_chars,
+                     CAST(len({_TOKENS_SQL}) AS BIGINT) AS t,
+                     {_bucket_sql('doc_id', BUDGET_SEED)} AS b
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_chars,
+                     sum(t) OVER (ORDER BY b, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+              FROM tk
+            )
+            SELECT doc_id, n_chars FROM c
+            WHERE cum <= (2 * (SELECT sum(t) FROM tk)) // 5
         """,
         "incremental_new_docs": f"""
             WITH seen AS (

@@ -85,6 +85,45 @@ def dedup_assignments(df: DataFrame, id_col: str = "url",
     )
 
 
+def keep_best(df: DataFrame, cluster_col, score_col,
+              id_col: str = "url") -> DataFrame:
+    """One full-width row per cluster: the member with the HIGHEST score
+    (ties broken by minimum id — fully deterministic).
+
+    The training-cut variant of keep-canonical: where the reference
+    keeps the first/minimum member of a duplicate group
+    (/root/reference/internal/finder/finder.go:116-121), a data
+    pipeline keeps the *best* member — highest quality score, longest
+    form, newest fetch — and ``score_col`` is whatever expression
+    encodes that policy (e.g. ``quality_score_micros(text)``).
+
+    Scale shape: the per-cluster argmax runs as a ``row_number`` window
+    over a slim ``(id, cluster, score)`` projection — dup clusters are
+    small by construction, so the window partitions are too — and the
+    winners join back by id via left-semi (AQE broadcasts the winner
+    ids when they fit), so text/full rows never enter the window
+    shuffle. ``cluster_col`` / ``score_col`` accept column expressions,
+    so the score need never be materialized on the input.
+    """
+    slim = df.select(
+        F.col(id_col),
+        _colexpr(cluster_col).alias("_cluster"),
+        _colexpr(score_col).alias("_score"),
+    )
+    w = Window.partitionBy("_cluster").orderBy(
+        F.desc_nulls_last("_score"), F.asc(id_col))
+    winners = (
+        slim.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
+def _colexpr(c) -> "F.Column":
+    return F.col(c) if isinstance(c, str) else c
+
+
 def ngram_jaccard_dedup(
     df: DataFrame, cfg: NearDupConfig | None = None,
     id_col: str = "url", text_col: str = "text",
