@@ -149,7 +149,7 @@ def main() -> None:
             raise SystemExit(
                 f"resume blob {resume} missing levels {missing}; "
                 f"need all of {sorted(set(PRIMARY + CONTEXT))}")
-        return finish(results, n_docs, repeats)
+        return finish(results, n_docs, protocol_desc(results))
     corpus = ensure_corpus(n_docs)
 
     levels = sorted(set(PRIMARY + CONTEXT))
@@ -176,7 +176,7 @@ def main() -> None:
             partial.write_text(json.dumps(
                 {"levels": {str(c): v for c, v in results.items()}}))
 
-    return finish(results, n_docs, repeats)
+    return finish(results, n_docs, protocol_desc(results))
 
 
 def run_level(cpus: int, corpus: str, tag: str) -> dict:
@@ -205,7 +205,18 @@ def run_level(cpus: int, corpus: str, tag: str) -> dict:
         f"no RESULT from local[{cpus}] after retry; see {logdir}")
 
 
-def finish(results: dict[int, dict], n_docs: int, repeats: int) -> None:
+def protocol_desc(results: dict[int, dict]) -> str:
+    """Human-readable sample-count summary for the report header —
+    derived from the blob so it can never overstate what ran."""
+    counts = ", ".join(
+        f"local[{c}]×{len(results[c]['all_secs'])}" for c in sorted(results))
+    return ("interleaved fresh-JVM repeats per level, best kept; "
+            f"sample counts: {counts} (campaign rounds via scale_bench.py, "
+            "uneven counts are targeted primary-pair extensions via "
+            "extend_primary.py — every sample, fast or slow, is listed)")
+
+
+def finish(results: dict[int, dict], n_docs: int, protocol: str) -> None:
     levels = sorted(results)
     lo, hi = PRIMARY
     r_lo, r_hi = results[lo], results[hi]
@@ -239,9 +250,10 @@ Flagship job: full near-dup pipeline (exact-dedup pre-pass → MinHash
 signatures → LSH banding → capped pair generation → signature
 verification → connected components) over the deterministic synthetic
 pages corpus ({n_docs} docs, fixed 64-partition parquet input, identical
-bytes for all runs). Fresh JVM per run, {repeats} interleaved repeats per
-level, best kept (this shared host shows bimodal co-tenant noise up to
-2×; all raw times are listed).
+bytes for all runs). Protocol: {protocol}. This shared host shows
+bimodal co-tenant noise up to 2× — and on some days a multi-hour slow
+mode that taxes parallel levels hardest (per-task-dispatch latency,
+BENCH/NOTES_r5.md) — so all raw times are listed.
 
 ## All levels
 
@@ -282,7 +294,8 @@ All runs at ALL levels produced identical results — pairs:
 {r_lo['pairs']}; clusters: {r_lo['clusters']} (asserted mechanically in
 finish(): any cross-level or cross-repeat mismatch fails this report).
 
-Generated by `python scale_bench.py {n_docs} {repeats}`, {time.strftime('%Y-%m-%d')}.
+Generated from the merged campaign blob by scale_bench.finish(),
+{time.strftime('%Y-%m-%d')}.
 """
     (REPO / "BENCH" / "BASELINE.md").write_text(md)
     print(json.dumps({
