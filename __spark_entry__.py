@@ -131,6 +131,12 @@ PLANT_TOKENS = 12          # tokens per base sequence (≥ shingle_k = 5)
 MHP_GROUPS = 15            # planted LSH cluster count
 MHP_SINGLETONS = 10        # planted must-NOT-cluster docs
 SHP_PAIRS = 20             # planted SimHash rotation pairs
+FCP_HITS = 15              # planted fuzzy-contamination (corpus, eval) hits
+FCP_CLEAN = 10             # planted must-NOT-flag corpus docs
+FCP_EVAL_ONLY = 5          # eval docs matching nothing in the corpus
+XSN_HITS = 12              # planted cross-snapshot (incoming, seen) hits
+XSN_CLEAN = 8              # planted genuinely-new incoming docs
+XSN_SEEN_ONLY = 5          # seen docs matching nothing incoming
 #: skew-stats planting: one hot group of HOT_MEMBERS docs sharing a
 #: shingle set (m-fold repetitions of one base, m = 2..HOT_MEMBERS+1) —
 #: all HOT_MEMBERS land in the same LSH bucket in every band; HOT_CAP
@@ -1106,6 +1112,85 @@ def _q_simhash_pairs_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_a", "url_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _q_fuzzy_contamination_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table MinHash decontamination with hits pinned by MATH
+    (the repetition invariant of ``minhash_clusters_planted``, pointed
+    across tables): corpus doc rk = base(rk) repeated 2×, eval doc rk =
+    the SAME base repeated 3× — identical k-shingle sets (any window of
+    T^m, m ≥ 2, is a cyclic window of T) ⇒ identical signatures ⇒
+    every band collides ⇒ a guaranteed candidate at agreement exactly
+    1.0. The FCP_CLEAN corpus docs and FCP_EVAL_ONLY eval docs use
+    disjoint stems (every token embeds its stem), so a spurious flag
+    would need a cross-stem band-hash collision AND ≥(threshold−margin)
+    signature agreement — this compare wires its absence in as an
+    assertion (an extra row fails the row count). Value-checks the
+    whole cross-table tier: banding join direction, broadcast side,
+    packed-signature agreement, threshold filter."""
+    ship_package(spark)
+    from doppel_spark.operators.contamination import fuzzy_contamination_pairs
+
+    sel = _plant_stems(spark, sf_dir, FCP_HITS + FCP_CLEAN + FCP_EVAL_ONLY)
+    corp = (
+        sel.filter(F.col("rk") < FCP_HITS + FCP_CLEAN)
+        .select(F.format_string("fc:%02d", "rk").alias("doc_id"),
+                F.expr(f"repeat(concat({_PLANT_BASE_SQL}, ' '), 2)")
+                .alias("text"))
+    )
+    evl = (
+        sel.filter((F.col("rk") < FCP_HITS)
+                   | (F.col("rk") >= FCP_HITS + FCP_CLEAN))
+        .select(F.format_string("ev:%02d", "rk").alias("eval_id"),
+                F.expr(f"repeat(concat({_PLANT_BASE_SQL}, ' '), 3)")
+                .alias("text"))
+    )
+    out = fuzzy_contamination_pairs(corp, evl, NearDupConfig())
+    return out.select(
+        "doc_id", "eval_id",
+        F.floor(F.col("jaccard_est") * 1_000_000).cast("long")
+        .alias("jaccard_micros"))
+
+
+def _q_xsnap_neardup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SNAPSHOT near-dup (the incremental funnel's MinHash tier)
+    with hits pinned by the same repetition invariant as
+    ``fuzzy_contamination_planted`` — but exercising the OPPOSITE scale
+    direction: the seen side is the accumulated corpus, too big to
+    broadcast, so candidates come from a shuffled equi-join of band
+    keys. Incoming doc rk = base(rk)×2, seen doc rk = the same base×3 ⇒
+    identical shingle sets ⇒ agreement exactly 1.0 for rk < XSN_HITS;
+    XSN_CLEAN incoming docs and XSN_SEEN_ONLY seen docs use disjoint
+    stems, so any extra row fails the count. The seen side goes through
+    ``seen_signed=True`` (the maintained-signature-table production
+    path), so this row also value-checks that the stored signature
+    schema round-trips."""
+    ship_package(spark)
+    from doppel_spark.operators.dedup import cross_snapshot_neardup_pairs
+    from doppel_spark.operators.lsh import signature_stage
+
+    sel = _plant_stems(spark, sf_dir, XSN_HITS + XSN_CLEAN + XSN_SEEN_ONLY)
+    incoming = (
+        sel.filter(F.col("rk") < XSN_HITS + XSN_CLEAN)
+        .select(F.format_string("nw:%02d", "rk").alias("doc_id"),
+                F.expr(f"repeat(concat({_PLANT_BASE_SQL}, ' '), 2)")
+                .alias("text"))
+    )
+    seen = (
+        sel.filter((F.col("rk") < XSN_HITS)
+                   | (F.col("rk") >= XSN_HITS + XSN_CLEAN))
+        .select(F.format_string("sn:%02d", "rk").alias("doc_id"),
+                F.expr(f"repeat(concat({_PLANT_BASE_SQL}, ' '), 3)")
+                .alias("text"))
+    )
+    seen_sig = signature_stage(seen, NearDupConfig(), id_col="doc_id")
+    out = cross_snapshot_neardup_pairs(
+        incoming, seen_sig, NearDupConfig(), id_col="doc_id",
+        seen_signed=True)
+    return out.select(
+        "doc_id_new", "doc_id_seen",
+        F.floor(F.col("jaccard_est") * 1_000_000).cast("long")
+        .alias("jaccard_micros"))
+
+
 def _q_neardup_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH skew accounting surfaced as a contract row (round-4 verdict
     task 6 — the no-silent-caps rule was pytest-visible only): the full
@@ -1289,6 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap_sample": _q_host_cap_sample,
         "dedup_keep_best_planted": _q_dedup_keep_best_planted,
         "token_budget_cut": _q_token_budget_cut,
+        "fuzzy_contamination_planted": _q_fuzzy_contamination_planted,
+        "xsnap_neardup_planted": _q_xsnap_neardup_planted,
     }
 
 
@@ -1878,6 +1965,32 @@ def oracle_sql() -> dict[str, str]:
         # docstrings for the repetition/rotation math); the oracles
         # still derive the group count from the same distinct-text
         # selection so both sides shrink consistently on tiny tables
+        "fuzzy_contamination_planted": f"""
+            WITH sel AS (
+                SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rk
+                FROM (SELECT min(doc_id) AS doc_id
+                      FROM documents WHERE text IS NOT NULL
+                      GROUP BY text ORDER BY doc_id
+                      LIMIT {FCP_HITS + FCP_CLEAN + FCP_EVAL_ONLY})
+            )
+            SELECT printf('fc:%02d', rk) AS doc_id,
+                   printf('ev:%02d', rk) AS eval_id,
+                   CAST(1000000 AS BIGINT) AS jaccard_micros
+            FROM sel WHERE rk < {FCP_HITS}
+        """,
+        "xsnap_neardup_planted": f"""
+            WITH sel AS (
+                SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rk
+                FROM (SELECT min(doc_id) AS doc_id
+                      FROM documents WHERE text IS NOT NULL
+                      GROUP BY text ORDER BY doc_id
+                      LIMIT {XSN_HITS + XSN_CLEAN + XSN_SEEN_ONLY})
+            )
+            SELECT printf('nw:%02d', rk) AS doc_id_new,
+                   printf('sn:%02d', rk) AS doc_id_seen,
+                   CAST(1000000 AS BIGINT) AS jaccard_micros
+            FROM sel WHERE rk < {XSN_HITS}
+        """,
         "minhash_clusters_planted": f"""
             WITH sel AS (
                 SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rk

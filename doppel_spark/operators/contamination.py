@@ -135,6 +135,106 @@ def contamination_report(corpus: DataFrame, eval_df: DataFrame,
     )
 
 
+def fuzzy_contamination_pairs(
+    corpus: DataFrame, eval_df: DataFrame, cfg=None,
+    id_col: str = "doc_id", eval_id_col: str = "eval_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate contamination: (corpus id, eval id, jaccard_est)
+    for every corpus document whose shingle-set Jaccard against an eval
+    document is estimated ≥ ``cfg.jaccard_threshold − cfg.verify_margin``.
+
+    The exact-n-gram test above misses paraphrase-level leakage (one
+    token changed in a 13-gram window breaks every covering gram); this
+    is the MinHash tier of the same hygiene step — the engine's
+    near-dup machinery (signature stage, band keys, packed-signature
+    agreement) pointed ACROSS tables instead of at a self-join.
+
+    Plan shape (100 TB corpus × benchmark-sized eval set):
+
+    * both sides run the zero-Python-object ``mapInArrow`` signature
+      stage; the corpus side is cut once (it feeds banding AND verify);
+    * candidate generation is ``corpus band keys ⋈ broadcast(eval band
+      keys)`` — a map-side join, so THE CORPUS NEVER SHUFFLES: one scan
+      emits the (id, eval_id) candidate trickle;
+    * verification joins packed signatures onto candidates (corpus side
+      pruned by semi-join first, eval side broadcast) and keeps
+      JVM-side agreement ≥ threshold − margin. Corpus text never moves.
+
+    Worst-case candidate fan-out is |eval docs sharing a band key| per
+    corpus doc — bounded by the eval set, not the corpus. Shared
+    boilerplate between corpus and eval inflates candidates but never
+    output (verification drops sub-threshold pairs).
+
+    Reference tie: same cross-set membership reading of doppel's digest
+    groupBy as :func:`contamination_report`
+    (/root/reference/internal/finder/finder.go:84-143), with MinHash
+    agreement replacing gram equality.
+    """
+    import atexit
+
+    from doppel_spark.config import NearDupConfig
+    from doppel_spark.functions.minhash import signature_agreement
+    from doppel_spark.operators.lsh import band_keys, signature_stage
+    from doppel_spark.operators.stage import StageMaterializer
+
+    cfg = cfg or NearDupConfig()
+    corp_in = corpus.select(F.col(id_col), F.col(text_col))
+    mat = StageMaterializer.for_input(corp_in, prefix="fuzzycontam")
+    atexit.register(mat.cleanup)
+
+    corp_sig = mat.cut(
+        signature_stage(corp_in, cfg, id_col=id_col, text_col=text_col),
+        "corp_sig")
+    eval_sig = mat.cut(
+        signature_stage(
+            eval_df.select(F.col(eval_id_col), F.col(text_col)),
+            cfg, id_col=eval_id_col, text_col=text_col),
+        "eval_sig")
+
+    corp_keys = band_keys(corp_sig, cfg, id_col=id_col)
+    eval_keys = band_keys(eval_sig, cfg, id_col=eval_id_col)
+    cands = (
+        corp_keys.join(F.broadcast(eval_keys), "band_hash")
+        .select(id_col, eval_id_col)
+        .distinct()
+    )
+
+    needed = corp_sig.join(
+        cands.select(id_col).distinct(), id_col, "left_semi")
+    return (
+        cands
+        .join(needed.select(id_col, F.col("signature").alias("_sig_c")),
+              id_col)
+        .join(F.broadcast(
+            eval_sig.select(eval_id_col, F.col("signature").alias("_sig_e"))),
+            eval_id_col)
+        .withColumn("jaccard_est",
+                    signature_agreement(F.col("_sig_c"), F.col("_sig_e"),
+                                        cfg.num_perm))
+        .filter(F.col("jaccard_est")
+                >= cfg.jaccard_threshold - cfg.verify_margin)
+        .select(id_col, eval_id_col, "jaccard_est")
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame, eval_df: DataFrame, cfg=None,
+    id_col: str = "doc_id", eval_id_col: str = "eval_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus minus every document near-duplicating an eval document —
+    the fuzzy twin of :func:`decontaminate`. Flagged ids (a trickle)
+    anti-join back on the id; the corpus scans once."""
+    flagged = (
+        fuzzy_contamination_pairs(
+            corpus, eval_df, cfg=cfg, id_col=id_col,
+            eval_id_col=eval_id_col, text_col=text_col)
+        .select(id_col).distinct()
+    )
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 def decontaminate(corpus: DataFrame, eval_df: DataFrame, n: int = 13,
                   id_col: str = "doc_id", text_col: str = "text",
                   lowercase: bool = True, hashed: bool = False) -> DataFrame:

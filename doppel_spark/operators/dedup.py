@@ -187,6 +187,118 @@ def cross_snapshot_new(incoming: DataFrame, seen: DataFrame,
     return incoming.join(new_ids, id_col, "left_semi")
 
 
+def cross_snapshot_neardup_pairs(
+    incoming: DataFrame, seen: DataFrame, cfg: NearDupConfig | None = None,
+    id_col: str = "url", text_col: str = "text",
+    seen_signed: bool = False,
+) -> DataFrame:
+    """(``{id}_new``, ``{id}_seen``, jaccard_est) for incoming docs that
+    near-duplicate prior-snapshot content — :func:`cross_snapshot_new`
+    lifted from exact digests to the MinHash tier (a re-crawled page
+    with a rotated banner or fresh timestamp defeats the digest
+    anti-join; its shingle set barely moves).
+
+    Cross-table join DIRECTION is the scale decision, and it is the
+    opposite of eval-set decontamination
+    (:func:`doppel_spark.operators.contamination
+    .fuzzy_contamination_pairs`): there the eval side is benchmark-sized
+    and broadcasts, so the corpus never shuffles; here the SEEN side is
+    the accumulated corpus — far too big to broadcast — so candidates
+    come from a plain shuffled equi-join of 16-byte (id, band_hash)
+    rows on both sides. Nothing wider moves: verification joins packed
+    signatures onto the candidate trickle with each side semi-join
+    pruned to candidate ids first. Text never moves at all.
+
+    At production scale the seen side's signatures are MAINTAINED, not
+    recomputed per crawl: pass ``seen_signed=True`` with ``seen`` being
+    the signature table (``id, signature, band_hashes`` — the exact
+    output of :func:`doppel_spark.operators.lsh.signature_stage`,
+    appended to Iceberg each snapshot), and only the incoming snapshot
+    pays the signature stage.
+
+    Reference tie: the cross-*run* reading of doppel's "skip files
+    already in a known group" early exit
+    (/root/reference/internal/scanner/finder.go:84-96), at near-dup
+    rather than exact-hash granularity.
+    """
+    import atexit
+
+    from doppel_spark.functions.minhash import signature_agreement
+    from doppel_spark.operators.lsh import band_keys
+    from doppel_spark.operators.stage import (SMALL_INPUT_BYTES,
+                                              StageMaterializer,
+                                              plan_size_bytes)
+
+    cfg = cfg or NearDupConfig()
+    new_id, seen_id = f"{id_col}_new", f"{id_col}_seen"
+
+    inc_in = incoming.select(F.col(id_col).alias(new_id), F.col(text_col))
+    # the materializer cuts BOTH sides when the seen side is unsigned,
+    # so the persist-vs-scratch-table decision must consider the larger
+    # of the two inputs, not just the (typically smaller) snapshot
+    sizes = [plan_size_bytes(inc_in)]
+    if not seen_signed:
+        sizes.append(plan_size_bytes(seen))
+    mat = StageMaterializer.for_input(
+        inc_in, prefix="xsnapnd",
+        small_input=all(s is None or s < SMALL_INPUT_BYTES for s in sizes))
+    atexit.register(mat.cleanup)
+    inc_sig = mat.cut(
+        signature_stage(inc_in, cfg, id_col=new_id, text_col=text_col),
+        "inc_sig")
+    if seen_signed:
+        seen_sig = seen.select(F.col(id_col).alias(seen_id),
+                               "signature", "band_hashes")
+    else:
+        seen_sig = mat.cut(
+            signature_stage(
+                seen.select(F.col(id_col).alias(seen_id), F.col(text_col)),
+                cfg, id_col=seen_id, text_col=text_col),
+            "seen_sig")
+
+    cands = (
+        band_keys(inc_sig, cfg, id_col=new_id)
+        .join(band_keys(seen_sig, cfg, id_col=seen_id), "band_hash")
+        .select(new_id, seen_id)
+        .distinct()
+    )
+    inc_need = inc_sig.join(
+        cands.select(new_id).distinct(), new_id, "left_semi")
+    seen_need = seen_sig.join(
+        cands.select(seen_id).distinct(), seen_id, "left_semi")
+    return (
+        cands
+        .join(inc_need.select(new_id, F.col("signature").alias("_sig_n")),
+              new_id)
+        .join(seen_need.select(seen_id, F.col("signature").alias("_sig_s")),
+              seen_id)
+        .withColumn("jaccard_est",
+                    signature_agreement(F.col("_sig_n"), F.col("_sig_s"),
+                                        cfg.num_perm))
+        .filter(F.col("jaccard_est")
+                >= cfg.jaccard_threshold - cfg.verify_margin)
+        .select(new_id, seen_id, "jaccard_est")
+    )
+
+
+def cross_snapshot_new_neardup(
+    incoming: DataFrame, seen: DataFrame, cfg: NearDupConfig | None = None,
+    id_col: str = "url", text_col: str = "text",
+    seen_signed: bool = False,
+) -> DataFrame:
+    """Incoming rows that do NOT near-duplicate prior-snapshot content —
+    the near-dup twin of :func:`cross_snapshot_new`. Flagged ids (a
+    trickle) anti-join back on the id; full incoming rows survive."""
+    flagged = (
+        cross_snapshot_neardup_pairs(
+            incoming, seen, cfg=cfg, id_col=id_col, text_col=text_col,
+            seen_signed=seen_signed)
+        .select(F.col(f"{id_col}_new").alias(id_col))
+        .distinct()
+    )
+    return incoming.join(flagged, id_col, "left_anti")
+
+
 def dedup_stats(assignments: DataFrame, id_col: str = "url") -> DataFrame:
     """One-row summary: total, kept, removed, dup groups (>1 member)."""
     agg = assignments.agg(

@@ -27,6 +27,8 @@ from doppel_spark.operators.contamination import (  # noqa: E402
     contamination_report,
     decontaminate,
     eval_ngrams,
+    fuzzy_contamination_pairs,
+    fuzzy_decontaminate,
     word_ngrams,
 )
 
@@ -157,3 +159,48 @@ def test_stratified_sample_per_stratum(spark):
     assert counts["en"] == 1000          # fraction 1.0 keeps the stratum
     assert 200 < counts.get("de", 0) < 400
     assert "fr" not in counts            # absent stratum dropped
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (MinHash) contamination
+
+def _fuzzy_fixtures(spark):
+    """Corpus/eval pair with hits pinned by the repetition invariant:
+    identical shingle sets for (base×2, base×3) ⇒ agreement 1.0."""
+    base = {i: " ".join(f"s{i}w{j}" for j in range(12)) for i in range(6)}
+    # corpus: docs 0-3 are 2-fold repetitions; docs 4-5 unique stems
+    corpus = spark.createDataFrame(
+        [(f"c{i}", (base[i] + " ") * 2) for i in range(4)]
+        + [(f"c{i}", base[i]) for i in (4, 5)],
+        "doc_id string, text string")
+    # eval: docs 0-2 are 3-fold repetitions of corpus stems (hits);
+    # doc 9 a stem the corpus never saw (must flag nothing)
+    evl = spark.createDataFrame(
+        [(f"e{i}", (base[i] + " ") * 3) for i in range(3)]
+        + [("e9", " ".join(f"zzz{j}" for j in range(12)))],
+        "eval_id string, text string")
+    return corpus, evl
+
+
+def test_fuzzy_contamination_pairs_planted(spark):
+    corpus, evl = _fuzzy_fixtures(spark)
+    got = sorted(
+        (r["doc_id"], r["eval_id"], r["jaccard_est"])
+        for r in fuzzy_contamination_pairs(corpus, evl).collect())
+    assert got == [("c0", "e0", 1.0), ("c1", "e1", 1.0), ("c2", "e2", 1.0)]
+
+
+def test_fuzzy_decontaminate_drops_only_flagged(spark):
+    corpus, evl = _fuzzy_fixtures(spark)
+    kept = sorted(r["doc_id"]
+                  for r in fuzzy_decontaminate(corpus, evl).collect())
+    assert kept == ["c3", "c4", "c5"]
+    # full-width rows survive
+    assert set(fuzzy_decontaminate(corpus, evl).columns) == {"doc_id", "text"}
+
+
+def test_fuzzy_contamination_empty_eval(spark):
+    corpus, _ = _fuzzy_fixtures(spark)
+    empty = spark.createDataFrame([], "eval_id string, text string")
+    assert fuzzy_contamination_pairs(corpus, empty).count() == 0
+    assert fuzzy_decontaminate(corpus, empty).count() == corpus.count()

@@ -141,3 +141,69 @@ def test_cross_snapshot_new_duplicated_seen_side(spark):
     got = [r["doc_id"] for r in
            cross_snapshot_new(incoming, seen, id_col="doc_id").collect()]
     assert got == [101]
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot NEAR-dup (MinHash tier of the incremental funnel)
+
+def _xsnap_fixtures(spark):
+    """Incoming/seen pair with hits pinned by the repetition invariant:
+    identical shingle sets for (base×2, base×3) ⇒ agreement 1.0."""
+    base = {i: " ".join(f"x{i}w{j}" for j in range(12)) for i in range(6)}
+    incoming = spark.createDataFrame(
+        [(f"n{i}", (base[i] + " ") * 2) for i in range(4)]      # 0-2 seen
+        + [(f"n{i}", base[i]) for i in (4, 5)],                 # unique stems
+        "doc_id string, text string")
+    seen = spark.createDataFrame(
+        [(f"s{i}", (base[i] + " ") * 3) for i in range(3)]
+        + [("s9", " ".join(f"yyy{j}" for j in range(12)))],
+        "doc_id string, text string")
+    return incoming, seen
+
+
+def test_cross_snapshot_neardup_pairs_planted(spark):
+    from doppel_spark.operators.dedup import cross_snapshot_neardup_pairs
+
+    incoming, seen = _xsnap_fixtures(spark)
+    got = sorted(
+        (r["doc_id_new"], r["doc_id_seen"], r["jaccard_est"])
+        for r in cross_snapshot_neardup_pairs(
+            incoming, seen, id_col="doc_id").collect())
+    assert got == [("n0", "s0", 1.0), ("n1", "s1", 1.0), ("n2", "s2", 1.0)]
+
+
+def test_cross_snapshot_neardup_seen_signed(spark):
+    """Production path: the seen side arrives as a maintained signature
+    table — results identical to signing it in-line."""
+    from doppel_spark.config import NearDupConfig
+    from doppel_spark.operators.dedup import cross_snapshot_neardup_pairs
+    from doppel_spark.operators.lsh import signature_stage
+
+    incoming, seen = _xsnap_fixtures(spark)
+    seen_sig = signature_stage(seen, NearDupConfig(), id_col="doc_id")
+    got = sorted(
+        (r["doc_id_new"], r["doc_id_seen"], r["jaccard_est"])
+        for r in cross_snapshot_neardup_pairs(
+            incoming, seen_sig, id_col="doc_id", seen_signed=True).collect())
+    assert got == [("n0", "s0", 1.0), ("n1", "s1", 1.0), ("n2", "s2", 1.0)]
+
+
+def test_cross_snapshot_new_neardup_keeps_unseen(spark):
+    from doppel_spark.operators.dedup import cross_snapshot_new_neardup
+
+    incoming, seen = _xsnap_fixtures(spark)
+    out = cross_snapshot_new_neardup(incoming, seen, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == ["n3", "n4", "n5"]
+    assert set(out.columns) == {"doc_id", "text"}       # full rows survive
+
+
+def test_cross_snapshot_neardup_empty_seen(spark):
+    from doppel_spark.operators.dedup import (cross_snapshot_neardup_pairs,
+                                              cross_snapshot_new_neardup)
+
+    incoming, _ = _xsnap_fixtures(spark)
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    assert cross_snapshot_neardup_pairs(
+        incoming, empty, id_col="doc_id").count() == 0
+    assert cross_snapshot_new_neardup(
+        incoming, empty, id_col="doc_id").count() == incoming.count()
