@@ -83,6 +83,9 @@ def main() -> None:
     ap.add_argument("--fast4", type=float, default=700.0,
                     help="local[4] wall (sec) below which the window "
                          "counts as fast and local[1] runs too")
+    ap.add_argument("--fast1", type=float, default=2200.0,
+                    help="local[1] wall (sec) below which that side's "
+                         "sample also counts as clean-window")
     ap.add_argument("--sleep", type=float, default=600.0,
                     help="sleep between attempts after a slow probe")
     ap.add_argument("--docs", type=int, default=3_600_000)
@@ -103,9 +106,17 @@ def main() -> None:
         if got4["sec"] <= args.fast4:
             got1 = scale_bench.run_level(lo, corpus, tag)
             merge(results, got1)
+            # stop on a TEMPORALLY-ADJACENT clean pair only: best-of
+            # across windows can marry a fast local[4] to a still-slow
+            # local[1] best and print an inflated (even super-linear)
+            # ratio — the paired estimator is the honest one, and once
+            # both sides hold a clean sample the best-of report agrees
+            # with it
+            paired = got1["sec"] / (got4["sec"] * (hi / lo))
             print(f"  ext local[{lo}]: {got1['sec']}s "
-                  f"(eff now {eff_primary(results):.3f})", flush=True)
-            if eff_primary(results) >= args.target:
+                  f"(paired eff {paired:.3f}, "
+                  f"best-of eff {eff_primary(results):.3f})", flush=True)
+            if (got1["sec"] <= args.fast1 and paired >= args.target):
                 break
         elif attempt + 1 < args.attempts:
             print(f"  window slow (local[{hi}] {got4['sec']}s > "
