@@ -1319,6 +1319,68 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(fps, id_col="url", hamming_t=3)
 
 
+def _q_stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming NEAR-dup (streaming/neardup_stream.py) run to
+    completion under ``availableNow`` — the streaming tier's second
+    contract query, one level above ``stream_dedup_digests``: LSH-band
+    groups keep their seen (id, packed signature) members in
+    ``applyInPandasWithState`` state and every arriving doc is verified
+    against its buckets in-state, so only confirmed pairs leave.
+
+    Corpus = the ``minhash_clusters_planted`` construction (same
+    stems, same repetition invariant: identical shingle sets ⇒
+    identical signatures ⇒ agreement pinned at num_perm=128), split
+    across TWO micro-batches — members ×2/×3 plus all singletons in
+    batch 0, members ×4 in batch 1 with ``maxFilesPerTrigger=1`` — so
+    a green row proves the ×4 pairs formed against STATE carried from
+    the previous micro-batch, not within-batch comparisons. Expected
+    pair set is pinned by the construction math, which DuckDB mirrors
+    literally: 3 canonical pairs per planted group at agree=128,
+    singletons absent.
+
+    Reference tie: doppel's two-stage cheap-signal→confirmation shape
+    (/root/reference/internal/finder/finder.go:47-143) carried into a
+    stateful stream — band collision is the size-bucket analog,
+    in-state signature agreement the full-hash confirmation."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from doppel_spark.streaming.neardup_stream import incremental_neardup_stream
+
+    ship_package(spark)
+    sel = _plant_stems(spark, sf_dir, MHP_GROUPS + MHP_SINGLETONS)
+    groups = (
+        sel.filter(F.col("rk") < MHP_GROUPS)
+        .select("rk", F.expr(_PLANT_BASE_SQL).alias("base"),
+                F.explode(F.array(F.lit(2), F.lit(3), F.lit(4))).alias("m"))
+        .select(F.format_string("mh:%02d:%d", "rk", "m").alias("url"),
+                F.expr("repeat(concat(base, ' '), m)").alias("text"),
+                F.col("m"))
+    )
+    singles = sel.filter(F.col("rk") >= MHP_GROUPS).select(
+        F.format_string("s:%02d", "rk").alias("url"),
+        F.expr(_PLANT_BASE_SQL).alias("text"), F.lit(0).alias("m"))
+    both = groups.union(singles)
+    tmp = tempfile.mkdtemp(prefix="doppel_ndstream_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    both.filter(F.col("m") != 4).drop("m").coalesce(1) \
+        .write.parquet(f"{tmp}/in/b0")
+    both.filter(F.col("m") == 4).drop("m").coalesce(1) \
+        .write.parquet(f"{tmp}/in/b1")
+    stream = (spark.readStream.schema("url string, text string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/*"))
+    pairs = incremental_neardup_stream(stream, NearDupConfig())
+    q = (pairs.writeStream.trigger(availableNow=True)
+         .format("parquet").option("path", f"{tmp}/out")
+         .outputMode("append")
+         .option("checkpointLocation", f"{tmp}/ck").start())
+    q.awaitTermination()
+    # a pair sharing b bands is emitted up to b times → dedupe, as the
+    # batch tier's pairs_from_membership does
+    return spark.read.parquet(f"{tmp}/out").distinct()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_members": _q_exact_dup_members,
@@ -1326,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_report": _q_exact_dup_report,
         "exact_dup_report_filtered": _q_exact_dup_report_filtered,
         "stream_dedup_digests": _q_stream_dedup_digests,
+        "stream_neardup_pairs": _q_stream_neardup_pairs,
         "length_buckets": _q_length_buckets,
         "filter_preset_docs": _q_filter_preset_docs,
         "dedup_keep_first": _q_dedup_keep_first,
@@ -1990,6 +2053,20 @@ def oracle_sql() -> dict[str, str]:
                    printf('sn:%02d', rk) AS doc_id_seen,
                    CAST(1000000 AS BIGINT) AS jaccard_micros
             FROM sel WHERE rk < {XSN_HITS}
+        """,
+        "stream_neardup_pairs": f"""
+            WITH sel AS (
+                SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rk
+                FROM (SELECT min(doc_id) AS doc_id
+                      FROM documents WHERE text IS NOT NULL
+                      GROUP BY text ORDER BY doc_id
+                      LIMIT {MHP_GROUPS + MHP_SINGLETONS})
+            ), p(x, y) AS (VALUES (2, 3), (2, 4), (3, 4))
+            SELECT printf('mh:%02d:%d', rk, x) AS url_a,
+                   printf('mh:%02d:%d', rk, y) AS url_b,
+                   CAST(128 AS BIGINT) AS agree
+            FROM sel CROSS JOIN p
+            WHERE rk < {MHP_GROUPS}
         """,
         "minhash_clusters_planted": f"""
             WITH sel AS (
