@@ -982,6 +982,41 @@ def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
 
+#: semantic-dedup planted construction: SEM_GROUPS one-hot directions ×
+#: SEM_MEMBERS positive scalings each. Same-direction vectors have
+#: cosine EXACTLY 1 and identical hyperplane sign bits — so every
+#: within-group pair is a guaranteed LSH candidate at any band config
+#: and a guaranteed verify pass at any threshold < 1; cross-group
+#: vectors are orthogonal (cosine exactly 0), so even a chance band
+#: collision dies at the verify. Clusters are therefore pinned by
+#: construction: component g = {g·100+m}, rep = g·100, keep ⇔ m = 0.
+SEM_GROUPS = 40
+SEM_MEMBERS = 3
+
+
+def _q_semantic_dedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full semantic-dedup tier (sign-LSH blocking → cosine verify →
+    connected components → keep-canonical) over the pinned one-hot
+    construction above — the embedding-space twin of
+    ``minhash_clusters_planted``. Runs the REAL scale path (brute_force
+    off); the oracle reproduces the construction math, not the
+    engine."""
+    from doppel_spark.operators.similarity import semantic_dedup
+
+    base = spark.range(SEM_GROUPS * SEM_MEMBERS).select(
+        (F.col("id") / SEM_MEMBERS).cast("long").alias("g"),
+        (F.col("id") % SEM_MEMBERS).alias("m"))
+    emb = base.select(
+        (F.col("g") * 100 + F.col("m")).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
+            lambda j: F.when(j == F.col("g"),
+                             (F.col("m") + 1).cast("float"))
+            .otherwise(F.lit(0.0).cast("float")),
+        ).alias("embedding"))
+    return semantic_dedup(emb, threshold=0.95, dim=EMB_DIM)
+
+
 def _q_ngram_jaccard_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard (the high-precision verification quantity of
     ``ngram_jaccard_dedup``) over a DETERMINISTIC id-derived pair set —
@@ -1416,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": _q_ann_topk_lsh,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "emb_neardup_lsh": _q_emb_neardup_lsh,
+        "semantic_dedup_planted": _q_semantic_dedup_planted,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "ngram_jaccard_planted": _q_ngram_jaccard_planted,
         "minhash_clusters_planted": _q_minhash_clusters_planted,
@@ -2015,6 +2051,15 @@ def oracle_sql() -> dict[str, str]:
               AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[]))
                   >= {EMB_NEARDUP_THRESHOLD}
+        """,
+        # pinned by the one-hot construction (cosine exactly 1 within a
+        # group, exactly 0 across): the oracle is the construction math
+        "semantic_dedup_planted": f"""
+            SELECT g * 100 + m AS vec_id,
+                   g * 100 AS cluster_rep,
+                   (m = 0) AS keep
+            FROM range(0, {SEM_GROUPS}) gs(g)
+            CROSS JOIN range(0, {SEM_MEMBERS}) ms(m)
         """,
         "multimodal_meta": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -342,6 +342,7 @@ def embedding_neardup_pairs(
     bands: int = 16, rows_per_band: int = 16, seed: int = 42,
     bucket_cap: int = 256, brute_force: bool = False,
     dim: int | None = None,
+    mat=None,
 ) -> DataFrame:
     """Pairs of vectors with cosine ≥ threshold (id_a < id_b, sim).
 
@@ -353,6 +354,10 @@ def embedding_neardup_pairs(
     then one JVM-side cosine per candidate pair. Candidate probability
     is 1−(1−p^r)^b with p = 1−θ/π; at cosine 0.95 the default 16×16
     catches a pair with P ≈ 0.96 (24 bands → 0.99).
+
+    ``mat`` — optional caller-owned :class:`StageMaterializer` so a
+    composing pipeline (``semantic_dedup``) shares one cut strategy
+    and one cleanup scope across this stage and its own.
     """
     base = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
     if brute_force:
@@ -380,7 +385,8 @@ def embedding_neardup_pairs(
     # join). Round 2 persisted only ``cand``, ABOVE the un-materialized
     # membership subtree, so the UDF + bucket shuffles still re-ran
     # 2-6× inside cand's first evaluation — 26.5 s for 5 k vectors.
-    mat = StageMaterializer.for_input(base, prefix="emblsh")
+    if mat is None:
+        mat = StageMaterializer.for_input(base, prefix="emblsh")
     keyed = mat.cut(
         base.select("id", keys(F.col("vec")).alias("band_keys")), "band_keys")
     exploded = keyed.select("id", F.explode("band_keys").alias("band_key"))
@@ -400,4 +406,62 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select(F.col("url_a").alias("id_a"), F.col("url_b").alias("id_b"),
                 F.round("sim", 6).alias("sim"))
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    bands: int = 16, rows_per_band: int = 16, seed: int = 42,
+    bucket_cap: int = 256, brute_force: bool = False,
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster vectors whose cosine ≥
+    ``threshold`` and elect one keeper per cluster.
+
+    The doppel funnel (cheap blocking → exact confirmation → group →
+    keep one; /root/reference/internal/finder/finder.go:47-143) applied
+    to the embedding space instead of bytes: blocking = banded sign-LSH
+    (or brute force at oracle scale), confirmation = JVM-side cosine,
+    grouping = the same hash-min connected components the text tiers
+    use, keeper = the cluster's smallest id (deterministic, no
+    ``rand()``).
+
+    Returns one row per input vector: ``(id_col, cluster_rep, keep)``
+    — ``cluster_rep`` is the smallest id in the vector's ≥threshold
+    component (its own id for singletons), ``keep`` marks the elected
+    representative. Training-cut usage: ``.filter("keep")`` ⇒ the
+    semantically-deduplicated corpus.
+
+    Scale shape: pairs come from the capped equi-join blocking of
+    :func:`embedding_neardup_pairs` (never all-pairs), components from
+    plan-truncated label-propagation rounds; one materializer scopes
+    both stages, so the LSH cuts and the CC round tables share a
+    strategy and a cleanup.
+    """
+    from doppel_spark.operators.components import (
+        clusters_with_singletons, connected_components)
+    from doppel_spark.operators.stage import StageMaterializer
+
+    base = emb.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
+    mat = None
+    if not brute_force:
+        mat = StageMaterializer.for_input(base, prefix="semdedup")
+        import atexit
+
+        # ad-hoc scope (same reasoning as connected_components): in
+        # table mode the final labels frame is BACKED by scratch, so
+        # reclamation must wait for interpreter exit
+        atexit.register(mat.cleanup)
+    pairs = embedding_neardup_pairs(
+        base, threshold=threshold, id_col="id", vec_col="vec",
+        bands=bands, rows_per_band=rows_per_band, seed=seed,
+        bucket_cap=bucket_cap, brute_force=brute_force, dim=dim, mat=mat)
+    comps = connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b", mat=mat)
+    labeled = clusters_with_singletons(comps, base.select("id"), id_col="id")
+    return labeled.select(
+        F.col("url").alias(id_col),
+        F.col("cluster_rep"),
+        (F.col("url") == F.col("cluster_rep")).alias("keep"),
     )

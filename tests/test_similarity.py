@@ -139,3 +139,42 @@ def test_similarity_entry_points_require_dim(spark):
         lsh_ann_topk(emb, [0], k=5)
     with pytest.raises(ValueError, match="requires dim"):
         embedding_neardup_pairs(emb, threshold=0.95)
+
+
+def _onehot_emb(spark, groups=8, members=3, dim=16):
+    base = spark.range(groups * members).select(
+        (F.col("id") / members).cast("long").alias("g"),
+        (F.col("id") % members).alias("m"))
+    return base.select(
+        (F.col("g") * 100 + F.col("m")).alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.when(j == F.col("g"), (F.col("m") + 1).cast("float"))
+            .otherwise(F.lit(0.0).cast("float")),
+        ).alias("embedding"))
+
+
+def test_semantic_dedup_pinned_clusters(spark):
+    from doppel_spark.operators.similarity import semantic_dedup
+
+    got = {(r.vec_id, r.cluster_rep, r.keep)
+           for r in semantic_dedup(_onehot_emb(spark), threshold=0.95,
+                                   dim=16).collect()}
+    want = {(g * 100 + m, g * 100, m == 0)
+            for g in range(8) for m in range(3)}
+    assert got == want
+
+
+def test_semantic_dedup_brute_matches_lsh_and_singletons(spark):
+    from doppel_spark.operators.similarity import semantic_dedup
+
+    # drop two groups to one member each — they must come back as
+    # singleton keepers on both paths, and the paths must agree
+    emb = _onehot_emb(spark).filter(
+        ~((F.col("vec_id") >= 600) & (F.col("vec_id") % 100 > 0)))
+    lsh = {tuple(r) for r in semantic_dedup(emb, threshold=0.95,
+                                            dim=16).collect()}
+    brute = {tuple(r) for r in semantic_dedup(emb, threshold=0.95,
+                                              brute_force=True).collect()}
+    assert lsh == brute
+    assert (600, 600, True) in lsh and (700, 700, True) in lsh
