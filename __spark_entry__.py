@@ -165,6 +165,16 @@ SPLIT_WEIGHTS = {"train": 0.9, "valid": 0.05, "test": 0.05}
 SPLIT_SEED = "cut-v1"
 STRAT_FRACTIONS = {"en": 1.0, "de": 0.5, "fr": 0.25}
 STRAT_SEED = "strat-v1"
+#: training-shard layout config (shard + order_key from md5 hash60)
+N_SHARDS = 16
+SHARD_SEED = "shards-v1"
+#: gopher_quality_filter thresholds for the contract query — tuned so
+#: the planted line corpus exercises several reasons, not just 'ok'
+GOPHER_CFG = dict(min_tokens=60, max_tokens=10_000,
+                  max_dup_line_micros=80_000,
+                  max_dup_char_micros=80_000,
+                  min_stop_hits=2, max_punct_micros=100_000,
+                  min_distinct_micros=300_000)
 
 FILTER_PRESET = FilterConfig(
     exclude_source_globs=("src1*",),
@@ -486,6 +496,26 @@ def _q_stratified_sample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(_docs(spark, sf_dir), STRAT_FRACTIONS,
                              "doc_id", by="lang",
                              seed=STRAT_SEED).select("doc_id", "lang")
+
+
+def _q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout per document: shard id +
+    within-shard order key, both pure md5 functions of (seed, doc_id) —
+    the writer's layout (`write_training_shards`) is pytest-covered;
+    this value-checks the assignment math itself."""
+    from doppel_spark.functions.splits import assign_shards
+
+    return assign_shards(_docs(spark, sf_dir).select("doc_id"),
+                         N_SHARDS, "doc_id", seed=SHARD_SEED)
+
+
+def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite keep/drop with per-doc first-failing-rule
+    reason, over the planted line corpus (so the repetition rules see
+    real intra-doc duplicate lines, not just 'ok' rows)."""
+    from doppel_spark.operators.lines import gopher_quality_filter
+
+    return gopher_quality_filter(_line_docs(spark, sf_dir), **GOPHER_CFG)
 
 
 def _q_training_cut_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1465,6 +1495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_report": _q_decontamination_report,
         "decontaminated_ids": _q_decontaminated_ids,
         "split_assign": _q_split_assign,
+        "shard_assign": _q_shard_assign,
+        "gopher_filter": _q_gopher_filter,
         "stratified_sample_lang": _q_stratified_sample_lang,
         "training_cut_funnel": _q_training_cut_funnel,
         "url_canonical_dups": _q_url_canonical_dups,
@@ -1583,6 +1615,63 @@ def _quality_sql(source: str = "documents") -> str:
            CAST(floor((0.4 * len_ok + 0.3 * stop_sig + 0.2 * rep_sig
                        + 0.1 * punct_sig) * 1000000) AS BIGINT) AS quality_micros
     FROM s
+    """
+
+
+def _gopher_sql() -> str:
+    """DuckDB mirror of ``gopher_quality_filter`` over the planted line
+    corpus: same integer-first micros shapes, same rule order (the CASE
+    ladder mirrors ``GOPHER_RULES``), thresholds from the SAME
+    ``GOPHER_CFG`` dict the Spark query uses."""
+    all_stops = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stops = ", ".join(f"'{w}'" for w in all_stops)
+    c = GOPHER_CFG
+    return f"""
+    WITH {_LINE_DOCS_SQL},
+    t AS (
+      SELECT doc_id,
+             {_TOKENS_SQL} AS toks,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)), x -> x <> '') AS l,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS n_punct
+      FROM line_docs
+    ), m AS (
+      SELECT doc_id, n_chars, n_punct,
+             len(toks) AS n,
+             len(list_filter(toks, x -> list_contains([{stops}], x)))
+               AS stop_hits,
+             len(list_distinct(toks)) AS n_distinct,
+             len(l) AS nl, len(list_distinct(l)) AS dl,
+             list_aggregate(list_transform(l, x -> length(x)), 'sum')
+               AS chars,
+             list_aggregate(list_transform(list_distinct(l),
+                                           x -> length(x)), 'sum') AS dchars
+      FROM t
+    ), r AS (
+      SELECT doc_id,
+        CASE
+          WHEN n < {c['min_tokens']} THEN 'too_short'
+          WHEN n > {c['max_tokens']} THEN 'too_long'
+          WHEN (CASE WHEN nl = 0 THEN 0
+                ELSE floor((nl - dl) * 1000000.0 / nl) END)
+               > {c['max_dup_line_micros']} THEN 'dup_lines'
+          WHEN (CASE WHEN chars IS NULL OR chars = 0 THEN 0
+                ELSE floor((chars - dchars) * 1000000.0 / chars) END)
+               > {c['max_dup_char_micros']} THEN 'dup_chars'
+          WHEN stop_hits < {c['min_stop_hits']} THEN 'low_stopword'
+          WHEN (CASE WHEN n_chars = 0 THEN 0
+                ELSE floor(n_punct * 1000000.0 / n_chars) END)
+               > {c['max_punct_micros']} THEN 'high_punct'
+          WHEN (CASE WHEN n = 0 THEN 1000000
+                ELSE floor(n_distinct * 1000000.0 / n) END)
+               < {c['min_distinct_micros']} THEN 'repetitive'
+          ELSE 'ok'
+        END AS reason
+      FROM m
+    )
+    SELECT doc_id, reason = 'ok' AS keep, reason FROM r
     """
 
 
@@ -2256,6 +2345,17 @@ def oracle_sql() -> dict[str, str]:
                      AS split
             FROM documents
         """,
+        "shard_assign": f"""
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5('{SHARD_SEED}:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % {N_SHARDS} AS shard,
+                   CAST(('0x' || substr(md5('{SHARD_SEED}:order:'
+                        || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     AS order_key
+            FROM documents
+        """,
+        "gopher_filter": _gopher_sql(),
         "stratified_sample_lang": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_bucket_sql('doc_id', STRAT_SEED)} <

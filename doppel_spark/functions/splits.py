@@ -37,20 +37,23 @@ def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
-def uniform_bucket(key: Column | str, seed: str,
-                   buckets: int = BUCKETS) -> Column:
-    """Deterministic uniform bucket in ``[0, buckets)`` from ``key``.
-
-    ``conv(substr(md5(seed || ':' || key), 1, 15), 16, 10) % buckets``
-    — 60 uniform bits, engine-portable (DuckDB mirror:
-    ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT) % buckets``).
-    """
-    h = F.conv(
+def hash60(key: Column | str, seed: str) -> Column:
+    """The raw 60-bit integer under the buckets: ``conv(substr(md5(seed
+    || ':' || key), 1, 15), 16, 10)`` — engine-portable (DuckDB mirror:
+    ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)``), always ≥ 0
+    (60 bits < the sign bit)."""
+    return F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.lit(seed),
                               _col(key).cast("string"))), 1, 15),
         16, 10).cast("long")
-    return F.pmod(h, F.lit(buckets)).alias("bucket")
+
+
+def uniform_bucket(key: Column | str, seed: str,
+                   buckets: int = BUCKETS) -> Column:
+    """Deterministic uniform bucket in ``[0, buckets)`` from ``key``
+    — :func:`hash60` mod ``buckets``."""
+    return F.pmod(hash60(key, seed), F.lit(buckets)).alias("bucket")
 
 
 def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
@@ -129,3 +132,48 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
                else thr.when(branch, lim))
     thr = thr.otherwise(F.lit(0))
     return df.filter(uniform_bucket(key_col, seed) < thr)
+
+
+def assign_shards(df: DataFrame, n_shards: int, key_col: str,
+                  seed: str = "shard") -> DataFrame:
+    """Deterministic training-shard layout: adds ``shard`` (long in
+    ``[0, n_shards)``) and ``order_key`` (independent 60-bit long) to
+    every row.
+
+    The output layout a training loader wants from a 100 TB cut: which
+    shard a document lands in and where it sits inside the shard are
+    both pure functions of (seed, key) — reproducible across runs,
+    engines, partitionings, and insertion orders, and the hash order
+    within a shard IS the global pseudo-random document shuffle
+    (no ``rand()``, no global sort). ``order_key`` uses an independent
+    seed (``{seed}:order``) so within-shard order is uncorrelated with
+    shard assignment. Per-row expressions only — no shuffle until the
+    writer groups by shard.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    return df.withColumn(
+        "shard", F.pmod(hash60(key_col, seed), F.lit(n_shards))
+    ).withColumn("order_key", hash60(key_col, f"{seed}:order"))
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          key_col: str, seed: str = "shard",
+                          mode: str = "overwrite") -> None:
+    """Materialize ``df`` as ``n_shards`` hash-ordered parquet shards.
+
+    One shuffle total: ``repartition(n_shards, shard)`` routes whole
+    shards to tasks (a shard is never split across files), then
+    ``sortWithinPartitions(shard, order_key, key)`` fixes the in-file
+    order, and ``partitionBy("shard")`` writes ``shard=K/`` directories
+    — so each shard is exactly one sorted file and the directory layout
+    is the loader's index. The trailing ``key_col`` in the sort makes
+    the file byte-order total even under an (astronomically unlikely)
+    order_key tie.
+    """
+    sharded = assign_shards(df, n_shards, key_col, seed)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "order_key", key_col)
+        .write.mode(mode).partitionBy("shard").parquet(path)
+    )

@@ -213,3 +213,84 @@ def top_ngram_mass(df: DataFrame, n: int = 2, id_col: str = "doc_id",
             .alias("top_gram_frac_micros"),
         )
     )
+
+
+#: gopher_quality_filter rule order — the reason reported is the FIRST
+#: failing rule in this order (fixed so the oracle CASE ladder mirrors
+#: it exactly); every threshold is integer tokens/hits/micros so the
+#: cross-engine comparison is float-free.
+GOPHER_RULES = ("too_short", "too_long", "dup_lines", "dup_chars",
+                "low_stopword", "high_punct", "repetitive")
+
+
+def gopher_quality_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_tokens: int = 50, max_tokens: int = 100_000,
+    max_dup_line_micros: int = 300_000,
+    max_dup_char_micros: int = 200_000,
+    min_stop_hits: int = 2,
+    max_punct_micros: int = 100_000,
+    min_distinct_micros: int = 300_000,
+) -> DataFrame:
+    """Gopher-style composite document filter — per-row rules, no model.
+
+    One row per input doc: ``(id_col, keep, reason)`` where ``reason``
+    is the first failing rule of :data:`GOPHER_RULES` (``'ok'`` when
+    all pass) — the per-reason histogram is the curation dashboard a
+    corpus cut wants, and ``keep = (reason = 'ok')``. Rules, in order:
+
+    1. ``too_short`` / ``too_long`` — whitespace token count outside
+       ``[min_tokens, max_tokens]``.
+    2. ``dup_lines`` / ``dup_chars`` — intra-doc repeated-line
+       fraction / char-weighted fraction above threshold.
+    3. ``low_stopword`` — fewer than ``min_stop_hits`` tokens from the
+       any-language stopword list (gibberish / non-text signal).
+    4. ``high_punct`` — punctuation chars above ``max_punct_micros``
+       of all chars.
+    5. ``repetitive`` — distinct-token fraction below
+       ``min_distinct_micros``.
+
+    Scale shape: pure Catalyst per-row expressions over one text column
+    — zero shuffle, composes with scan pushdown; at 100 TB this is a
+    map-only pass exactly like ``quality_score``. The top-n-gram mass
+    rule (the one Gopher rule that needs an aggregation) is deliberately
+    separate — compose with :func:`top_ngram_mass` when wanted.
+    """
+    from doppel_spark.functions.text import tokens
+
+    from doppel_spark.corpus import LANG_STOPWORDS
+
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    all_stops = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(*[F.lit(w) for w in all_stops])))
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    punct_micros = (
+        F.when(n_chars == 0, F.lit(0))
+        .otherwise(F.floor(n_punct * F.lit(1_000_000) / n_chars))
+        .cast("long"))
+    distinct_micros = (
+        F.when(n == 0, F.lit(1_000_000))
+        .otherwise(F.floor(F.size(F.array_distinct(toks))
+                           * F.lit(1_000_000) / n))
+        .cast("long"))
+    reason = (
+        F.when(n < min_tokens, F.lit("too_short"))
+        .when(n > max_tokens, F.lit("too_long"))
+        .when(dup_line_fraction_micros(t) > max_dup_line_micros,
+              F.lit("dup_lines"))
+        .when(dup_line_char_fraction_micros(t) > max_dup_char_micros,
+              F.lit("dup_chars"))
+        .when(stop_hits < min_stop_hits, F.lit("low_stopword"))
+        .when(punct_micros > max_punct_micros, F.lit("high_punct"))
+        .when(distinct_micros < min_distinct_micros, F.lit("repetitive"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.select(
+        F.col(id_col),
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
+    )

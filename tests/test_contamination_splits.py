@@ -204,3 +204,48 @@ def test_fuzzy_contamination_empty_eval(spark):
     empty = spark.createDataFrame([], "eval_id string, text string")
     assert fuzzy_contamination_pairs(corpus, empty).count() == 0
     assert fuzzy_decontaminate(corpus, empty).count() == corpus.count()
+
+
+def test_assign_shards_deterministic_and_in_range(spark):
+    from doppel_spark.functions.splits import assign_shards
+
+    df = spark.range(500).withColumnRenamed("id", "k")
+    a = {(r.k, r.shard, r.order_key)
+         for r in assign_shards(df, 8, "k", seed="s1").collect()}
+    b = {(r.k, r.shard, r.order_key)
+         for r in assign_shards(df.repartition(7), 8, "k", seed="s1").collect()}
+    assert a == b  # partitioning-independent
+    assert all(0 <= s < 8 for _, s, _ in a)
+    assert len({s for _, s, _ in a}) == 8  # all shards populated
+    # order_key is an independent hash: not constant per shard
+    per_shard = {}
+    for _, s, o in a:
+        per_shard.setdefault(s, set()).add(o)
+    assert all(len(v) > 1 for v in per_shard.values())
+    with pytest.raises(ValueError, match="n_shards"):
+        assign_shards(df, 0, "k")
+
+
+def test_write_training_shards_layout(spark, tmp_path):
+    from doppel_spark.functions.splits import (assign_shards,
+                                               write_training_shards)
+
+    df = spark.range(300).withColumnRenamed("id", "k")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, 4, "k", seed="s2")
+    import os
+    for s in range(4):
+        d = os.path.join(out, f"shard={s}")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1  # a shard is exactly one file
+    got = spark.read.parquet(out)
+    # every row present once, in-file order follows order_key
+    assert got.count() == 300
+    expect = assign_shards(df, 4, "k", seed="s2")
+    assert ({(r.k, int(r.shard)) for r in got.collect()}
+            == {(r.k, r.shard) for r in expect.collect()})
+    import pandas as pd  # noqa: F401  (pyarrow read keeps file order)
+    for s in range(4):
+        pdf = spark.read.parquet(os.path.join(out, f"shard={s}")).toPandas()
+        ks = list(pdf["order_key"])
+        assert ks == sorted(ks)

@@ -124,3 +124,33 @@ def test_redact_pii_order_and_counts(spark):
     assert out[3]["n_emails"] == 0 and out[3]["n_ips"] == 1
     assert out[3]["text_clean"] == "bare a@<IP> quad"
     assert out[4]["text_clean"] == "no pii here"
+
+
+def test_gopher_filter_rules_and_order(spark):
+    from doppel_spark.operators.lines import gopher_quality_filter
+
+    uniq = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, "the of and " + uniq),                  # passes everything
+         (1, "tiny doc"),                            # too_short
+         (2, "the of and " + " ".join(f"v{i}" for i in range(2100))),
+         #                                           ^ too_long
+         (3, ("the of and " + uniq                   # dup_lines fires
+              + ("\nsame line" * 9))),
+         (4, uniq + " " + uniq.upper()),             # low_stopword
+         (5, "the of " + uniq + " . , ! ? ; : " * 30),  # high_punct
+         (6, "the of and " + "rep " * 120)],         # repetitive
+        "doc_id long, text string")
+    got = {r.doc_id: (r.keep, r.reason)
+           for r in gopher_quality_filter(
+               docs, min_tokens=20, max_tokens=2000,
+               max_dup_line_micros=300_000, max_dup_char_micros=300_000,
+               min_stop_hits=2, max_punct_micros=200_000,
+               min_distinct_micros=300_000).collect()}
+    assert got[0] == (True, "ok")
+    assert got[1] == (False, "too_short")
+    assert got[2] == (False, "too_long")
+    assert got[3] == (False, "dup_lines")
+    assert got[4] == (False, "low_stopword")
+    assert got[5] == (False, "high_punct")
+    assert got[6] == (False, "repetitive")
