@@ -168,6 +168,9 @@ STRAT_SEED = "strat-v1"
 #: training-shard layout config (shard + order_key from md5 hash60)
 N_SHARDS = 16
 SHARD_SEED = "shards-v1"
+#: sequence-packing budget (tokens per training sequence) — small enough
+#: that sf0.01 docs pack several-per-sequence AND some docs oversize
+PACK_BUDGET = 300
 #: gopher_quality_filter thresholds for the contract query — tuned so
 #: the planted line corpus exercises several reasons, not just 'ok'
 GOPHER_CFG = dict(min_tokens=60, max_tokens=10_000,
@@ -507,6 +510,17 @@ def _q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return assign_shards(_docs(spark, sf_dir).select("doc_id"),
                          N_SHARDS, "doc_id", seed=SHARD_SEED)
+
+
+def _q_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy fixed-budget sequence packing in shard hash order — the
+    training-loader layout step. Deterministic given (seed, budget), so
+    the DuckDB oracle replays the same greedy walk as a recursive CTE."""
+    from doppel_spark.functions.text import token_count
+    from doppel_spark.operators.budget import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), PACK_BUDGET, N_SHARDS,
+                          token_count("text"), seed=SHARD_SEED)
 
 
 def _q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1496,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_ids": _q_decontaminated_ids,
         "split_assign": _q_split_assign,
         "shard_assign": _q_shard_assign,
+        "packed_sequences": _q_packed_sequences,
         "gopher_filter": _q_gopher_filter,
         "stratified_sample_lang": _q_stratified_sample_lang,
         "training_cut_funnel": _q_training_cut_funnel,
@@ -2356,6 +2371,47 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "gopher_filter": _gopher_sql(),
+        # the greedy pack replayed as a recursive CTE: anchor = each
+        # shard's first doc in (order_key, id) order; step = append or
+        # reset exactly as pack_sequences' loop does
+        "packed_sequences": f"""
+            WITH RECURSIVE numbered AS (
+              SELECT doc_id, shard, n_tokens,
+                     row_number() OVER (PARTITION BY shard
+                                        ORDER BY order_key, doc_id) AS pos
+              FROM (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('{SHARD_SEED}:'
+                            || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % {N_SHARDS} AS shard,
+                       CAST(('0x' || substr(md5('{SHARD_SEED}:order:'
+                            || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         AS order_key,
+                       CAST(len({_TOKENS_SQL}) AS BIGINT) AS n_tokens
+                FROM documents
+              )
+            ), packed AS (
+              SELECT shard, doc_id, n_tokens, pos,
+                     CAST(0 AS BIGINT) AS seq_id, n_tokens AS running
+              FROM numbered WHERE pos = 1
+              UNION ALL
+              SELECT n.shard, n.doc_id, n.n_tokens, n.pos,
+                     CASE WHEN p.running > 0
+                               AND p.running + n.n_tokens > {PACK_BUDGET}
+                          THEN p.seq_id + 1 ELSE p.seq_id END,
+                     CASE WHEN p.running > 0
+                               AND p.running + n.n_tokens > {PACK_BUDGET}
+                          THEN n.n_tokens
+                          ELSE p.running + n.n_tokens END
+              FROM packed p
+              JOIN numbered n ON n.shard = p.shard AND n.pos = p.pos + 1
+            )
+            SELECT doc_id, shard, seq_id,
+                   row_number() OVER (PARTITION BY shard, seq_id
+                                      ORDER BY pos) - 1 AS seq_pos,
+                   n_tokens
+            FROM packed
+        """,
         "stratified_sample_lang": f"""
             SELECT doc_id, lang FROM documents
             WHERE {_bucket_sql('doc_id', STRAT_SEED)} <

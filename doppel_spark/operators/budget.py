@@ -125,3 +125,78 @@ def token_budget_sample(
         .select(id_col)
     )
     return df.join(kept_whole.union(kept_boundary), id_col, "left_semi")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    n_shards: int,
+    token_col: Column | str,
+    id_col: str = "doc_id",
+    seed: str = "shard",
+) -> DataFrame:
+    """Greedy sequence packing: group documents into training sequences
+    of ≤ ``budget_tokens`` tokens, without splitting documents.
+
+    The step after the corpus cut: a training loader wants fixed-budget
+    sequences, filled in the reproducible hash order of
+    :func:`~doppel_spark.functions.splits.assign_shards` (same seed ⇒
+    same shard layout as the shard writer). Greedy first-fit-in-order:
+    walk the shard's docs by ``(order_key, id)``; when the running
+    total would exceed the budget, start a new sequence. A document
+    longer than the whole budget gets a singleton sequence (documents
+    are never split — truncation is the loader's policy call, not the
+    packer's).
+
+    Output: one row per input doc — ``(id_col, shard, seq_id, seq_pos,
+    n_tokens)`` with ``seq_id`` dense from 0 within its shard and
+    ``seq_pos`` the doc's position inside its sequence.
+
+    Scale shape: packing is inherently serial *within* a shard (each
+    decision depends on the running total), so the unit of parallelism
+    is the shard — the same rule the shard writer already imposes
+    (size ``n_shards`` so one shard fits one task; at ~1 GB/shard that
+    is ~1 M docs, and the per-task packing loop below walks plain numpy
+    int64 arrays once). Only the slim ``(id, shard, order_key,
+    n_tokens)`` projection enters the shuffle — text never moves.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (applyInPandas transport)
+    from pyspark.sql import types as T
+
+    from doppel_spark.functions.splits import assign_shards
+
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be positive, got {budget_tokens}")
+    slim = assign_shards(
+        df.select(F.col(id_col), _col(token_col).cast("long").alias("n_tokens")),
+        n_shards, id_col, seed=seed)
+    id_type = slim.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("shard", T.LongType()),
+        T.StructField("seq_id", T.LongType()),
+        T.StructField("seq_pos", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+    ])
+
+    def pack(pdf):
+        pdf = (pdf.sort_values(["order_key", id_col], kind="mergesort")
+               .reset_index(drop=True))
+        toks = pdf["n_tokens"].to_numpy()
+        seq = np.empty(len(toks), dtype=np.int64)
+        pos = np.empty(len(toks), dtype=np.int64)
+        s = running = p = 0
+        for i, t in enumerate(toks):
+            if running > 0 and running + t > budget_tokens:
+                s += 1
+                running = 0
+                p = 0
+            running += int(t)
+            seq[i] = s
+            pos[i] = p
+            p += 1
+        return pdf.assign(seq_id=seq, seq_pos=pos)[
+            [id_col, "shard", "seq_id", "seq_pos", "n_tokens"]]
+
+    return slim.groupBy("shard").applyInPandas(pack, schema)

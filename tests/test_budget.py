@@ -115,3 +115,55 @@ def test_keep_best_null_scores_lose(spark):
         [(1, "c", None), (2, "c", 0.5)], "id long, cluster string, score double")
     got = [r["id"] for r in keep_best(df, "cluster", "score", id_col="id").collect()]
     assert got == [2]
+
+
+def _py_pack(rows, budget):
+    """Pure-Python greedy reference: rows = [(id, order_key, tokens)]."""
+    out = {}
+    seq = running = pos = 0
+    for rid, _, t in sorted(rows, key=lambda r: (r[1], r[0])):
+        if running > 0 and running + t > budget:
+            seq += 1
+            running = pos = 0
+        running += t
+        out[rid] = (seq, pos)
+        pos += 1
+    return out
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    from doppel_spark.functions.splits import assign_shards
+    from doppel_spark.operators.budget import pack_sequences
+
+    # token lengths spanning multi-doc sequences AND oversize singletons
+    docs = spark.createDataFrame(
+        [(i, 400 if i % 17 == 0 else (i * 37) % 90 + 5) for i in range(200)],
+        "doc_id long, n_tokens long")
+    got = {r.doc_id: (r.shard, r.seq_id, r.seq_pos, r.n_tokens)
+           for r in pack_sequences(docs, 128, 4, F.col("n_tokens"),
+                                   seed="pk1").collect()}
+    assert len(got) == 200
+    layout = {(r.doc_id): (r.shard, r.order_key, r.n_tokens)
+              for r in assign_shards(docs, 4, "doc_id", seed="pk1").collect()}
+    by_shard = {}
+    for rid, (s, o, t) in layout.items():
+        by_shard.setdefault(s, []).append((rid, o, t))
+    for s, rows in by_shard.items():
+        ref = _py_pack(rows, 128)
+        for rid, (seq, pos) in ref.items():
+            assert got[rid] == (s, seq, pos, dict(
+                (r, t) for r, _, t in rows)[rid]), f"doc {rid} shard {s}"
+    # invariants: no multi-doc sequence exceeds the budget
+    totals = {}
+    for rid, (s, seq, pos, t) in got.items():
+        totals.setdefault((s, seq), []).append(t)
+    for k, ts in totals.items():
+        assert sum(ts) <= 128 or len(ts) == 1, k
+
+
+def test_pack_sequences_validates_budget(spark):
+    from doppel_spark.operators.budget import pack_sequences
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="budget_tokens"):
+        pack_sequences(df, 0, 2, F.lit(1), id_col="doc_id")
