@@ -171,6 +171,10 @@ SHARD_SEED = "shards-v1"
 #: sequence-packing budget (tokens per training sequence) — small enough
 #: that sf0.01 docs pack several-per-sequence AND some docs oversize
 PACK_BUDGET = 300
+#: multimodal resize / frame-sampling contract config (fake decoder —
+#: dims/frame counts derive from sha256(payload), mirrored in DuckDB)
+MEDIA_MAX_SIDE = 96
+MEDIA_FRAME_K = 7
 #: gopher_quality_filter thresholds for the contract query — tuned so
 #: the planted line corpus exercises several reasons, not just 'ok'
 GOPHER_CFG = dict(min_tokens=60, max_tokens=10_000,
@@ -403,6 +407,43 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(payload).cast("long").alias("byte_len"),
         F.sha2(payload, 256).alias("payload_digest"),
     )
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a media table: text bytes as the opaque payload,
+    kind alternating image/video by id parity (so frame sampling sees
+    both the single-frame and the fan-out branch)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image"))
+        .otherwise(F.lit("video")).alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over the fake decoder: integer aspect-preserving
+    scale-down past MEDIA_MAX_SIDE, byte-identical pass-through below
+    it; the resized payload's digest is value-checked (the oracle
+    reproduces the fake decoder's dimension/digest math from
+    sha256(text))."""
+    from doppel_spark.operators.multimodal import resize_media
+
+    out = resize_media(_media(spark, sf_dir), max_side=MEDIA_MAX_SIDE)
+    return out.select(
+        "asset_id", "kind", "width", "height",
+        F.sha2("payload", 256).alias("resized_digest"))
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: every MEDIA_FRAME_K-th frame of each
+    video (images contribute frame 0) — output cardinality ≠ input
+    cardinality through one mapInPandas; per-frame digests are
+    value-checked against the oracle's replay of the fake decoder."""
+    from doppel_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_media(spark, sf_dir), every_k=MEDIA_FRAME_K) \
+        .select("asset_id", "frame_no", "frame_digest")
 
 
 def _q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1487,6 +1528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "emb_neardup": _q_emb_neardup,
         "multimodal_meta": _q_multimodal_meta,
+        "media_resize": _q_media_resize,
+        "media_frames": _q_media_frames,
         "minhash_lsh_clusters": _q_minhash_lsh_clusters,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "substring_pairs": _q_substring_pairs,
@@ -2169,6 +2212,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                    sha256(text) AS payload_digest
             FROM documents
+        """,
+        # fake-decoder replay: dims from sha256(text) bytes 0/1, integer
+        # aspect-preserving scale-down, resized digest from the same
+        # "{digest16}:{w}x{h}" string the UDF synthesizes
+        "media_resize": f"""
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 'image'
+                          ELSE 'video' END AS kind,
+                     64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT)
+                       % 192 AS w,
+                     64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT)
+                       % 192 AS h,
+                     substr(sha256(text), 1, 16) AS d16,
+                     text
+              FROM documents
+            ), r AS (
+              SELECT asset_id, kind, w, h, d16, text,
+                     greatest(w, h) AS mx FROM m
+            )
+            SELECT asset_id, kind,
+                   CAST(CASE WHEN mx > {MEDIA_MAX_SIDE}
+                        THEN greatest(1, w * {MEDIA_MAX_SIDE} // mx)
+                        ELSE w END AS INT) AS width,
+                   CAST(CASE WHEN mx > {MEDIA_MAX_SIDE}
+                        THEN greatest(1, h * {MEDIA_MAX_SIDE} // mx)
+                        ELSE h END AS INT) AS height,
+                   CASE WHEN mx > {MEDIA_MAX_SIDE}
+                        THEN sha256(d16 || ':'
+                             || CAST(greatest(1, w * {MEDIA_MAX_SIDE} // mx)
+                                     AS VARCHAR)
+                             || 'x'
+                             || CAST(greatest(1, h * {MEDIA_MAX_SIDE} // mx)
+                                     AS VARCHAR))
+                        ELSE sha256(text) END AS resized_digest
+            FROM r
+        """,
+        # frame fan-out replay: frame count from sha256(text) byte 2,
+        # every MEDIA_FRAME_K-th frame, digest of "{digest16}#{frame}"
+        "media_frames": f"""
+            WITH m AS (
+              SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                     CASE WHEN doc_id % 2 = 0 THEN 1
+                          ELSE 1 + CAST(('0x' || substr(sha256(text), 5, 2))
+                                        AS INT) % 64 END AS nf,
+                     substr(sha256(text), 1, 16) AS d16
+              FROM documents
+            )
+            SELECT asset_id, CAST(f AS INT) AS frame_no,
+                   substr(sha256(d16 || '#' || CAST(f AS VARCHAR)), 1, 16)
+                     AS frame_digest
+            FROM m, unnest(range(0, nf, {MEDIA_FRAME_K})) AS t(f)
         """,
         "ngram_jaccard_planted": _ngram_jaccard_sql(),
         "substring_pairs_planted": _substring_planted_sql(),

@@ -137,3 +137,51 @@ def test_null_text_never_dedups(spark):
     assert exact_dedup(weird).count() == 3  # null-content rows each survive
     asg = {r["url"]: r["canonical_id"] for r in dedup_assignments(weird).collect()}
     assert asg == {"a": "a", "b": "b", "c": "c"}
+
+
+def test_resize_media_branches(spark):
+    import hashlib
+
+    from doppel_spark.operators.multimodal import _fake_decode, resize_media
+
+    media = spark.createDataFrame(
+        [("a1", "image", b"\x89PNG fake bytes"),
+         ("a2", "video", b"\x00\x00ftyp fake")],
+        "asset_id string, kind string, payload binary")
+    got = {r.asset_id: r for r in
+           resize_media(media, max_side=96).collect()}
+    for aid, kind, payload in [("a1", "image", b"\x89PNG fake bytes"),
+                               ("a2", "video", b"\x00\x00ftyp fake")]:
+        w, h, _nf, digest = _fake_decode(payload, kind)
+        m = max(w, h)
+        r = got[aid]
+        if m > 96:
+            assert (r.width, r.height) == (max(1, w * 96 // m),
+                                           max(1, h * 96 // m))
+            assert bytes(r.payload) == f"{digest}:{r.width}x{r.height}".encode()
+        else:
+            assert (r.width, r.height) == (w, h)
+            assert bytes(r.payload) == payload  # byte-identical pass-through
+    # pass-through is guaranteed reachable with a large max_side
+    big = {r.asset_id: bytes(r.payload)
+           for r in resize_media(media, max_side=1000).collect()}
+    assert big == {"a1": b"\x89PNG fake bytes", "a2": b"\x00\x00ftyp fake"}
+
+
+def test_sample_frames_fanout_and_validation(spark):
+    from doppel_spark.operators.multimodal import _fake_decode, sample_frames
+
+    media = spark.createDataFrame(
+        [("a1", "image", b"img"), ("a2", "video", b"vid")],
+        "asset_id string, kind string, payload binary")
+    rows = sample_frames(media, every_k=5).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.asset_id, []).append(r.frame_no)
+    assert by["a1"] == [0]  # image: single frame
+    _w, _h, nf, _d = _fake_decode(b"vid", "video")
+    assert sorted(by["a2"]) == list(range(0, nf, 5))  # video fan-out
+    with pytest.raises(ValueError, match="every_k"):
+        sample_frames(media, every_k=0)
+    with pytest.raises(Exception, match="NotImplementedError|real frame"):
+        sample_frames(media, decoder="real").collect()
