@@ -27,8 +27,9 @@ pure predicate that cuts a 10⁹-page host to ~f·k rows before any
 window sees it, while hosts already at ≤ f·k pages pass untouched.
 The prefilter is OFF by default because it is approximate at small
 ``k``: the binomial draw can leave fewer than ``k`` survivors with
-probability ≤ exp(−(f−1)²·k/ (f+1)) (Chernoff) — negligible for
-``f·k ≳ 200``, not for k=1. Exact mode is always exact.
+probability ≤ exp(−(f−1)²·k/(2f)) (Chernoff lower tail, δ=(f−1)/f,
+μ=f·k — :func:`prefilter_undershoot_bound` computes it) — negligible
+for ``f·k ≳ 200``, not for k=1. Exact mode is always exact.
 """
 
 from __future__ import annotations
