@@ -258,9 +258,20 @@ class StageMaterializer:
                           f"table {path}: {exc}", RuntimeWarning, stacklevel=2)
 
     def cleanup(self) -> None:
-        """Reclaim caches/tables. Only safe after consumers finish."""
+        """Reclaim caches/tables. Only safe after consumers finish.
+
+        Tolerates a stopped SparkContext: ad-hoc materializers register
+        this via ``atexit``, which can fire after ``spark.stop()`` —
+        ``unpersist`` on a dead context raises from the JVM (the block
+        manager endpoint is gone), and the cached data died with the
+        context anyway. Scratch-table deletion is context-free
+        (``shutil``) for local paths and already exception-guarded for
+        remote ones, so it still runs."""
         for df in self.cached:
-            df.unpersist()
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — context already stopped
+                pass
         self.cached.clear()
         for p in self.paths:
             self._rm_path(p)

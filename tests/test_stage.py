@@ -141,3 +141,19 @@ def test_cut_force_false_lazy_persist(spark):
     assert out.count() == 75  # first consumer fills the cache
     assert len(mat.cached) == 1
     mat.cleanup()
+
+
+def test_cleanup_tolerates_stopped_context(spark, monkeypatch):
+    # atexit-registered ad-hoc materializers can fire after spark.stop();
+    # unpersist then raises from the JVM (block manager endpoint gone).
+    # cleanup must swallow it and still clear its own state.
+    mat = StageMaterializer(spark, mode="persist", prefix="t")
+    out = mat.cut(spark.range(100).toDF("id"), "stage1")
+    assert out.count() == 100
+
+    def boom(*a, **k):
+        raise RuntimeError("SparkContext stopped")
+
+    monkeypatch.setattr(type(out), "unpersist", boom)
+    mat.cleanup()  # must not raise
+    assert mat.cached == [] and mat.paths == [] and mat._frames == {}
