@@ -1,0 +1,233 @@
+#!/usr/bin/env python3
+"""spark-submit entrypoint: the training-data curation funnel as one
+resumable batch job.
+
+    spark-submit --py-files doppel_spark.zip jobs/curate_job.py \
+        --input /path/to/pages_parquet [--input more_segments ...] \
+        --output /path/to/out --checkpoint /path/to/ckpt \
+        [--eval /path/to/eval_parquet] [--synth-docs N] \
+        [--preset docs] [--min-size 1KB] [--langs en,de] \
+        [--max-per-host K] [--token-budget B] [--shards N] \
+        [--split-weights train=0.98,val=0.01,test=0.01] \
+        [--decontaminate-ngram 13] [--skip-line-dedup] [--skip-quality]
+
+Composes the operator family the contract queries exercise one stage at
+a time (`training_cut_funnel`, `url_canonical_dups`, `gopher_filter`,
+`decontaminated_ids`, `host_cap_sample`, `token_budget_cut`,
+`shard_assign`) into the cut a training run actually consumes, in cost
+order — each stage only ever sees the previous stage's survivors:
+
+    filter → URL-canonical dedup → exact dedup → PII redaction
+    → corpus line dedup → Gopher quality filter → decontamination
+    → per-host cap → hash splits → train token-budget cut
+    → hash-ordered training shards (+ val/test parquet)
+
+Every stage materializes through :class:`doppel_spark.checkpoint.
+CheckpointStore` — config-keyed manifests with per-partition lineage
+(row count by partition id), so a killed run resumes at the first
+unpublished stage and a changed flag invalidates exactly the stages it
+affects (all of them: the funnel is a pipeline, each stage's config is
+the whole run's). `funnel_report.json` is the curation dashboard: per
+stage rows in/out + wall seconds, the quality-filter per-reason
+histogram, split sizes, and final token totals — the metrics half of
+the north rule's "checkpoint per-partition lineage + metrics".
+
+The reference analogue is the find-command pipeline (filter → size
+groups → quick hash → full hash → report,
+/root/reference/cmd/find.go:110-233); this job is the same
+cheap-to-expensive staging discipline applied to a corpus cut.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", action="append", default=[],
+                   help="pages parquet path (repeatable for multiple segments)")
+    p.add_argument("--synth-docs", type=int, default=0,
+                   help="generate a synthetic corpus of N docs instead of --input")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", required=True,
+                   help="stage-manifest root; rerunning resumes at the "
+                        "first unpublished stage")
+    p.add_argument("--config-dir", default=None)
+    p.add_argument("--preset", default=None)
+    p.add_argument("--min-size", default=None)
+    p.add_argument("--max-size", default=None)
+    p.add_argument("--langs", default=None)
+    p.add_argument("--eval", action="append", default=[],
+                   help="eval-set parquet (needs a `text` column); enables "
+                        "exact n-gram decontamination (repeatable)")
+    p.add_argument("--decontaminate-ngram", type=int, default=13)
+    p.add_argument("--max-per-host", type=int, default=0,
+                   help="0 disables the per-host cap")
+    p.add_argument("--token-budget", type=int, default=0,
+                   help="0 disables the train-split token cut")
+    p.add_argument("--shards", type=int, default=64)
+    p.add_argument("--split-weights", default="train=0.98,val=0.01,test=0.01")
+    p.add_argument("--split-seed", default="curate-split-v1")
+    p.add_argument("--skip-line-dedup", action="store_true")
+    p.add_argument("--skip-quality", action="store_true")
+    return p.parse_args(argv)
+
+
+def _parse_weights(spec: str) -> dict[str, float]:
+    out = {}
+    for part in spec.split(","):
+        name, _, w = part.partition("=")
+        out[name.strip()] = float(w)
+    return out
+
+
+def main(argv: list[str] | None = None) -> dict:
+    args = parse_args(argv)
+    from pyspark.sql import functions as F
+
+    from doppel_spark.checkpoint import CheckpointStore
+    from doppel_spark.config_loader import load_job_config
+    from doppel_spark.functions.redact import email_count, ipv4_count, redact_pii
+    from doppel_spark.functions.splits import assign_split, write_training_shards
+    from doppel_spark.functions.text import token_count
+    from doppel_spark.functions.urls import canonicalize_url
+    from doppel_spark.operators.budget import token_budget_sample
+    from doppel_spark.operators.dedup import exact_dedup
+    from doppel_spark.operators.lines import gopher_quality_filter, line_dedup
+    from doppel_spark.operators.quota import cap_per_host
+    from doppel_spark.session import get_spark, ship_package
+    from doppel_spark.sources import read_pages
+
+    active = SparkSession.getActiveSession()
+    spark = active if active is not None else get_spark(app_name="doppel_curate_job")
+    ship_package(spark)
+
+    if args.synth_docs:
+        from doppel_spark.corpus import synth_pages
+        pages = synth_pages(spark, args.synth_docs)
+    else:
+        if not args.input:
+            raise SystemExit("need --input or --synth-docs")
+        pages = read_pages(spark, args.input).pages
+    # the funnel never needs html — drop it before the first materialize
+    pages = pages.select("url", "warc_ts", "text", "lang")
+
+    cfg = load_job_config(config_dir=args.config_dir, cli={
+        "filter": {k: v for k, v in {
+            "min_size": args.min_size, "max_size": args.max_size,
+            "langs": args.langs}.items() if v is not None},
+        "job": {} if args.preset is None else {"preset": args.preset},
+    })
+    weights = _parse_weights(args.split_weights)
+    run_cfg = (repr(cfg.filter), weights, args.split_seed,
+               args.decontaminate_ngram, sorted(args.eval),
+               args.max_per_host, args.token_budget, args.shards,
+               args.skip_line_dedup, args.skip_quality)
+    store = CheckpointStore(spark, args.checkpoint, run_config=run_cfg)
+    t0 = time.time()
+
+    cur = store.run("s01_filtered", lambda: pages.filter(
+        cfg.filter.keep_predicate(size_col=F.length("text"),
+                                  source_col=None, lang_col="lang")))
+
+    def url_canonical(df: DataFrame) -> DataFrame:
+        # keep the earliest crawl of each canonical URL; only slim
+        # (url, canon, ts) rows shuffle, full rows rejoin by semi-join
+        slim = df.select("url", canonicalize_url("url").alias("_cu"), "warc_ts")
+        keep = (slim.groupBy("_cu")
+                .agg(F.min(F.struct("warc_ts", "url")).alias("w"))
+                .select(F.col("w.url").alias("url")))
+        return df.join(keep, "url", "left_semi")
+
+    cur = store.run("s02_url_canonical", lambda: url_canonical(cur))
+    cur = store.run("s03_exact_dedup",
+                    lambda: exact_dedup(cur, id_col="url").drop("digest"))
+    cur = store.run("s04_redacted", lambda: cur.select(
+        "url", "warc_ts", "lang", redact_pii("text").alias("text"),
+        (email_count("text") + ipv4_count("text")).alias("pii_hits")))
+
+    if not args.skip_line_dedup:
+        def lined(df: DataFrame) -> DataFrame:
+            dd = line_dedup(df, id_col="url")
+            return (df.select("url", "warc_ts", "lang", "pii_hits")
+                    .join(dd, "url")
+                    .withColumnRenamed("text_clean", "text"))
+        cur = store.run("s05_line_dedup", lambda: lined(cur))
+
+    reasons: dict[str, int] = {}
+    if not args.skip_quality:
+        gq = store.run("s06_quality_reasons",
+                       lambda: gopher_quality_filter(cur, id_col="url"))
+        reasons = {r["reason"]: int(r["n"]) for r in
+                   gq.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+                   .collect()}
+        cur = store.run("s07_quality_kept", lambda: cur.join(
+            gq.filter("keep").select("url"), "url", "left_semi"))
+
+    if args.eval:
+        def decontaminated(df: DataFrame) -> DataFrame:
+            from doppel_spark.operators.contamination import decontaminate
+            eval_df = spark.read.parquet(*args.eval)
+            return decontaminate(df, eval_df, n=args.decontaminate_ngram,
+                                 id_col="url")
+        cur = store.run("s08_decontaminated", lambda: decontaminated(cur))
+
+    if args.max_per_host:
+        cur = store.run("s09_host_capped",
+                        lambda: cap_per_host(cur, args.max_per_host,
+                                             url_col="url", id_col="url"))
+
+    cur = store.run("s10_splits", lambda: cur.withColumn(
+        "split", assign_split("url", weights, seed=args.split_seed)))
+    split_counts = {r["split"]: int(r["n"]) for r in
+                    cur.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+                    .collect()}
+
+    os.makedirs(args.output, exist_ok=True)
+    for name in weights:
+        if name == "train":
+            continue
+        (cur.filter(F.col("split") == name).drop("split")
+         .write.mode("overwrite").parquet(os.path.join(args.output, name)))
+
+    train = cur.filter(F.col("split") == "train").drop("split")
+    if args.token_budget:
+        train = store.run("s11_train_token_cut", lambda: token_budget_sample(
+            train, args.token_budget, token_count("text"), id_col="url"))
+
+    shards_path = os.path.join(args.output, "train_shards")
+    write_training_shards(train, shards_path, args.shards, key_col="url")
+    final = spark.read.parquet(shards_path)
+    train_tokens, train_docs = final.select(
+        F.sum(token_count("text")), F.count(F.lit(1))).first()
+
+    summary = {
+        "duration_s": round(time.time() - t0, 3),
+        "stages": [{k: m[k] for k in ("stage", "rows", "duration_s")}
+                   for m in store.metrics()],
+        "quality_reasons": reasons,
+        "split_counts": split_counts,
+        "train_docs": int(train_docs or 0),
+        "train_tokens": int(train_tokens or 0),
+        "shards": args.shards,
+        "tables": {"train_shards": shards_path,
+                   **{n: os.path.join(args.output, n)
+                      for n in weights if n != "train"}},
+    }
+    with open(os.path.join(args.output, "funnel_report.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

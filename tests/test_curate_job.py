@@ -1,0 +1,79 @@
+"""curate_job: the end-to-end training-data curation funnel entrypoint.
+
+Runs the job as a real subprocess (the spark-submit shape, like
+test_report_job.test_job_entrypoint_end_to_end), then re-runs it
+against the same checkpoint to prove stage-level resume: every funnel
+stage must resume from its published manifest (no rebuild) and the
+final cut must be byte-identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+ARGS = ["--synth-docs", "300", "--max-per-host", "50",
+        "--token-budget", "60000", "--shards", "8",
+        "--split-weights", "train=0.9,val=0.05,test=0.05"]
+
+
+def _run(out, ckpt):
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "curate_job.py"),
+         "--output", str(out), "--checkpoint", str(ckpt), *ARGS],
+        capture_output=True, text=True, timeout=420, env=env, cwd="/tmp",
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    return json.loads((out / "funnel_report.json").read_text())
+
+
+def test_curate_funnel_end_to_end_and_resume(tmp_path):
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    rep = _run(out, ckpt)
+
+    # the funnel only ever narrows: stage rows are monotone
+    # non-increasing in pipeline order (manifest names sort that way)
+    rows = [s["rows"] for s in rep["stages"] if s["stage"] != "s06_quality_reasons"]
+    assert rows == sorted(rows, reverse=True), rep["stages"]
+    assert rows[0] == 300  # nothing filtered by the default FilterConfig
+    # quality histogram covers every doc that reached it, and some pass
+    gq_rows = next(s["rows"] for s in rep["stages"]
+                   if s["stage"] == "s06_quality_reasons")
+    assert sum(rep["quality_reasons"].values()) == gq_rows
+    assert rep["quality_reasons"].get("ok", 0) > 0
+    # splits partition the s10 output exactly
+    s10 = next(s["rows"] for s in rep["stages"] if s["stage"] == "s10_splits")
+    assert sum(rep["split_counts"].values()) == s10
+    # the token cut binds: budget respected, something survived
+    assert 0 < rep["train_tokens"] <= 60000
+    assert 0 < rep["train_docs"] < rep["split_counts"]["train"]
+    # shard layout: one shard=K dir per non-empty shard, all within range
+    shard_dirs = sorted(p.name for p in (out / "train_shards").iterdir()
+                        if p.name.startswith("shard="))
+    assert 0 < len(shard_dirs) <= 8
+    assert all(0 <= int(d.split("=")[1]) < 8 for d in shard_dirs)
+    assert (out / "val" / "_SUCCESS").exists()
+    assert (out / "test" / "_SUCCESS").exists()
+
+    # resume: wipe the output, keep the checkpoint — every stage must
+    # come back from its manifest (identical rows) and produce the
+    # identical final cut
+    manifests_before = {s["stage"]: s["rows"] for s in rep["stages"]}
+    mtimes = {p: p.stat().st_mtime_ns
+              for p in ckpt.rglob("_STAGE_MANIFEST.json")}
+    import shutil
+    shutil.rmtree(out)
+    rep2 = _run(out, ckpt)
+    assert {s["stage"]: s["rows"] for s in rep2["stages"]} == manifests_before
+    assert rep2["train_docs"] == rep["train_docs"]
+    assert rep2["train_tokens"] == rep["train_tokens"]
+    assert rep2["split_counts"] == rep["split_counts"]
+    # no stage re-published: manifests untouched on disk
+    assert {p: p.stat().st_mtime_ns
+            for p in ckpt.rglob("_STAGE_MANIFEST.json")} == mtimes
