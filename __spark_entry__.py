@@ -344,6 +344,58 @@ def _q_stream_dedup_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{tmp}/out").select("digest").distinct()
 
 
+def _q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed aggregation (the canonical late-data
+    pattern), contract-checked on the GUARANTEED side of the watermark.
+    Batch 0 is the events table plus an anchor row at 2024-03-01 00:00
+    (beyond every real event) that pins the post-batch watermark at
+    anchor − 1h regardless of the data's own max ts. Batch 1 then
+    carries ``planted_late_ok`` (2024-02-29 23:30 — a cross-batch late
+    arrival whose hour window is still open under that watermark, so it
+    MUST be counted) and a far-future ``planted_sentinel`` whose only
+    job is to advance the watermark past every real window so append
+    mode emits them all; the sentinel's own window (and only it) stays
+    unemitted in state. The DuckDB oracle is the hourly group-by over
+    events UNION the late row and the anchor — a missed late update, a
+    double append emission, or a leaked unclosed window is a row/hash
+    mismatch, not a vacuous pass. The DROP side of the watermark is
+    deliberately not asserted: Spark documents it as one-sided ("late
+    data may be dropped"), and empirically (4.1, offset-log
+    batchWatermarkMs verified) a beyond-watermark row forms a fresh
+    window and is emitted in its own batch — a deterministic contract
+    can only pin the guarantee."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from doppel_spark.streaming.windows import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("ts", "event_type")
+
+    def planted(ts: str, kind: str) -> DataFrame:
+        return spark.range(1).select(
+            F.to_timestamp(F.lit(ts)).alias("ts"), F.lit(kind).alias("event_type"))
+
+    b0 = ev.union(planted("2024-03-01 00:00:00", "planted_anchor"))
+    b1 = (planted("2024-02-29 23:30:00", "planted_late_ok")
+          .union(planted("2024-06-01 00:00:00", "planted_sentinel")))
+    tmp = tempfile.mkdtemp(prefix="doppel_evstream_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    b0.coalesce(1).write.parquet(f"{tmp}/in/b0")
+    b1.coalesce(1).write.parquet(f"{tmp}/in/b1")
+    stream = (spark.readStream.schema("ts timestamp, event_type string")
+              .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in/*"))
+    agg = windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+    q = (agg.writeStream.trigger(availableNow=True)
+         .format("parquet").option("path", f"{tmp}/out")
+         .outputMode("append")
+         .option("checkpointLocation", f"{tmp}/ck").start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{tmp}/out")
+            .select(F.col("window.start").alias("hour"), "event_type",
+                    F.col("n_events").cast("long").alias("n_events")))
+
+
 def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -1508,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_report": _q_exact_dup_report,
         "exact_dup_report_filtered": _q_exact_dup_report_filtered,
         "stream_dedup_digests": _q_stream_dedup_digests,
+        "stream_events_hourly": _q_stream_events_hourly,
         "stream_neardup_pairs": _q_stream_neardup_pairs,
         "length_buckets": _q_length_buckets,
         "filter_preset_docs": _q_filter_preset_docs,
@@ -2041,6 +2094,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_digests": """
             SELECT DISTINCT sha256(text) AS digest FROM documents
+        """,
+        # the watermark contract stated as data: the anchor + the
+        # within-watermark late row ARE in the answer; the too-late row
+        # and the sentinel are NOT (its window never closes)
+        "stream_events_hourly": """
+            WITH aug AS (
+              SELECT ts, event_type FROM events
+              UNION ALL
+              SELECT TIMESTAMP '2024-03-01 00:00:00', 'planted_anchor'
+              UNION ALL
+              SELECT TIMESTAMP '2024-02-29 23:30:00', 'planted_late_ok'
+            )
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM aug GROUP BY 1, 2
         """,
         "exact_dup_members_planted": _MEMBERS_PLANTED_SQL,
         # resume-idempotency: the crash-resumed checkpointed runner must
