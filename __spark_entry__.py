@@ -21,6 +21,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from doppel_spark.config import FilterConfig, NearDupConfig  # noqa: E402
 from doppel_spark.corpus import LANG_STOPWORDS  # noqa: E402
+from doppel_spark.functions.extract import (  # noqa: E402
+    assert_extraction_identity, extract_pages)
 from doppel_spark.functions.fingerprint import fingerprint_udf  # noqa: E402
 from doppel_spark.functions.redact import (  # noqa: E402
     EMAIL_PATTERN,
@@ -1553,6 +1555,46 @@ def _q_stream_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{tmp}/out").distinct()
 
 
+#: planted extraction traps: an internal ``</body>`` (kills a lazy or
+#: first-occurrence capture) and multibyte UTF-8 (kills any non-UTF-8
+#: or lossy decode) — appended to every doc_id % 97 == 0 row.
+_EXTRACT_TRAP = " x</body>trap é¿"
+
+
+def _q_extract_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule per-row invariant as a contract query: **extracted
+    text byte-identical per url** (BASELINE.json input_hint).
+
+    Pages are built in-plan with the corpus's html construction
+    (doppel_spark/corpus.py:226-231): ``html = utf8('<html><body>' ||
+    text || '</body></html>')``, with the ``_EXTRACT_TRAP`` suffix
+    planted on every 97th doc (6 rows at sf0.01) so a lazy /
+    first-match capture or a lossy charset path cannot round-trip.
+    ``extract_pages`` (pure Catalyst: decode + greedy regexp_extract,
+    doppel_spark/functions/extract.py) recovers the text from the
+    binary column and ``assert_extraction_identity`` embeds the
+    byte-identity gate in the plan — any divergent row RAISES. The
+    DuckDB oracle reruns the identical encode→decode→extract chain, so
+    the hash compare checks the extracted VALUES, not just the gate.
+
+    Reference tie: hasher.go hashes file bytes verbatim; the table
+    analogue is that the text every dedup tier consumes is exactly the
+    text extraction yields (/root/reference/internal/hasher/hasher.go).
+    """
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pages = docs.select(
+        F.format_string("d:%06d", "doc_id").alias("url"),
+        F.when(F.col("doc_id") % 97 == 0,
+               F.concat(F.col("text"), F.lit(_EXTRACT_TRAP)))
+        .otherwise(F.col("text")).alias("text"))
+    pages = pages.withColumn(
+        "html",
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                          F.lit("</body></html>")), "UTF-8"))
+    out = assert_extraction_identity(extract_pages(pages))
+    return out.select("url", "extracted")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_members": _q_exact_dup_members,
@@ -1567,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": _q_dedup_keep_first,
         "dedup_summary": _q_dedup_summary,
         "token_stats": _q_token_stats,
+        "extract_text_roundtrip": _q_extract_text_roundtrip,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality_scores,
         "quick_digest_buckets": _q_quick_digest_buckets,
@@ -2202,6 +2245,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '{SUBTOKEN_PATTERN}'))
                         AS BIGINT) AS n_subtokens
             FROM documents
+        """,
+        "extract_text_roundtrip": f"""
+            WITH pages AS (
+                SELECT printf('d:%06d', doc_id) AS url,
+                       encode('<html><body>' ||
+                              CASE WHEN doc_id % 97 = 0
+                                   THEN text || '{_EXTRACT_TRAP}'
+                                   ELSE text END ||
+                              '</body></html>') AS html
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT url,
+                   regexp_extract(decode(html),
+                                  '(?s)<body>(.*)</body>', 1) AS extracted
+            FROM pages
         """,
         "lang_id": _lang_id_sql(),
         "quality_scores": _quality_sql(),
