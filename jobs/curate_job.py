@@ -9,7 +9,8 @@ resumable batch job.
         [--preset docs] [--min-size 1KB] [--langs en,de] \
         [--max-per-host K] [--token-budget B] [--shards N] \
         [--split-weights train=0.98,val=0.01,test=0.01] \
-        [--decontaminate-ngram 13] [--skip-line-dedup] [--skip-quality]
+        [--decontaminate-ngram 13] [--skip-line-dedup] [--skip-quality] \
+        [--verify-extraction {off,report,strict}]
 
 Composes the operator family the contract queries exercise one stage at
 a time (`training_cut_funnel`, `url_canonical_dups`, `gopher_filter`,
@@ -17,7 +18,8 @@ a time (`training_cut_funnel`, `url_canonical_dups`, `gopher_filter`,
 `shard_assign`) into the cut a training run actually consumes, in cost
 order — each stage only ever sees the previous stage's survivors:
 
-    filter → URL-canonical dedup → exact dedup → PII redaction
+    (extraction byte-identity gate, optional)
+    → filter → URL-canonical dedup → exact dedup → PII redaction
     → corpus line dedup → Gopher quality filter → decontamination
     → per-host cap → hash splits → train token-budget cut
     → hash-ordered training shards (+ val/test parquet)
@@ -79,6 +81,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--split-seed", default="curate-split-v1")
     p.add_argument("--skip-line-dedup", action="store_true")
     p.add_argument("--skip-quality", action="store_true")
+    p.add_argument("--verify-extraction", choices=["off", "report", "strict"],
+                   default="off",
+                   help="re-extract text from the html column and check the "
+                        "north-rule byte-identity invariant before the funnel "
+                        "starts: 'report' routes divergent rows out and counts "
+                        "them in funnel_report.json (one extra pass over the "
+                        "input); 'strict' fails the job on the first divergent "
+                        "row (in-plan assert, no extra pass)")
     return p.parse_args(argv)
 
 
@@ -118,7 +128,23 @@ def main(argv: list[str] | None = None) -> dict:
         if not args.input:
             raise SystemExit("need --input or --synth-docs")
         pages = read_pages(spark, args.input).pages
-    # the funnel never needs html — drop it before the first materialize
+    # optional entry gate: the stored text must be what extraction over
+    # the stored html yields, byte for byte (the north-rule per-row
+    # invariant; doppel_spark/functions/extract.py)
+    extract_mismatches = 0
+    if args.verify_extraction != "off" and "html" in pages.columns:
+        from doppel_spark.functions.extract import (
+            assert_extraction_identity, extract_pages, split_extraction)
+        ext = extract_pages(pages)
+        if args.verify_extraction == "strict":
+            pages = assert_extraction_identity(ext).drop("extracted")
+        else:
+            ok, bad = split_extraction(ext)
+            extract_mismatches = bad.count()
+            pages = ok.drop("extracted")
+
+    # past the gate the funnel never needs html — drop it before the
+    # first materialize
     pages = pages.select("url", "warc_ts", "text", "lang")
 
     cfg = load_job_config(config_dir=args.config_dir, cli={
@@ -131,7 +157,8 @@ def main(argv: list[str] | None = None) -> dict:
     run_cfg = (repr(cfg.filter), weights, args.split_seed,
                args.decontaminate_ngram, sorted(args.eval),
                args.max_per_host, args.token_budget, args.shards,
-               args.skip_line_dedup, args.skip_quality)
+               args.skip_line_dedup, args.skip_quality,
+               args.verify_extraction)
     store = CheckpointStore(spark, args.checkpoint, run_config=run_cfg)
     t0 = time.time()
 
@@ -223,6 +250,8 @@ def main(argv: list[str] | None = None) -> dict:
                    **{n: os.path.join(args.output, n)
                       for n in weights if n != "train"}},
     }
+    if args.verify_extraction != "off":
+        summary["extract_mismatches"] = int(extract_mismatches)
     with open(os.path.join(args.output, "funnel_report.json"), "w") as f:
         json.dump(summary, f, indent=2)
     print(json.dumps(summary))

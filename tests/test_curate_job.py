@@ -77,3 +77,66 @@ def test_curate_funnel_end_to_end_and_resume(tmp_path):
     # no stage re-published: manifests untouched on disk
     assert {p: p.stat().st_mtime_ns
             for p in ckpt.rglob("_STAGE_MANIFEST.json")} == mtimes
+
+
+def _pages_with_bad_row(spark, tmp_path):
+    """4 well-formed pages + 1 whose stored text diverges from its html."""
+    from datetime import datetime, timezone
+
+    def html(t):
+        return b"<html><body>" + t.encode() + b"</body></html>"
+
+    ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = [(f"http://x.example/{i}", ts, html(f"page text {i} " * 20),
+             f"page text {i} " * 20, "en") for i in range(4)]
+    rows.append(("http://x.example/bad", ts, html("what was crawled"),
+                 "what the table claims", "en"))
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    path = str(tmp_path / "pages_in")
+    df.coalesce(1).write.parquet(path)
+    return path
+
+
+def _main(argv):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "curate_job", str(REPO / "jobs" / "curate_job.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main(argv)
+
+
+def test_verify_extraction_report_mode(spark, tmp_path):
+    path = _pages_with_bad_row(spark, tmp_path)
+    rep = _main(["--input", path,
+                 "--output", str(tmp_path / "out"),
+                 "--checkpoint", str(tmp_path / "ckpt"),
+                 "--shards", "2", "--skip-quality",
+                 "--verify-extraction", "report"])
+    # the divergent row is counted AND excluded before stage 1
+    assert rep["extract_mismatches"] == 1
+    assert rep["stages"][0]["rows"] == 4
+
+
+def test_verify_extraction_strict_mode_fails_job(spark, tmp_path):
+    import pytest
+
+    path = _pages_with_bad_row(spark, tmp_path)
+    with pytest.raises(Exception, match="byte-identical"):
+        _main(["--input", path,
+               "--output", str(tmp_path / "out2"),
+               "--checkpoint", str(tmp_path / "ckpt2"),
+               "--shards", "2", "--skip-quality",
+               "--verify-extraction", "strict"])
+
+
+def test_verify_extraction_off_keeps_old_report_shape(spark, tmp_path):
+    path = _pages_with_bad_row(spark, tmp_path)
+    rep = _main(["--input", path,
+                 "--output", str(tmp_path / "out3"),
+                 "--checkpoint", str(tmp_path / "ckpt3"),
+                 "--shards", "2", "--skip-quality"])
+    assert "extract_mismatches" not in rep
+    assert rep["stages"][0]["rows"] == 5
