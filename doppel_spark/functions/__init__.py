@@ -1,1 +1,4 @@
 from doppel_spark.functions.digests import full_digest, quick_digest  # noqa: F401
+from doppel_spark.functions.extract import (  # noqa: F401
+    extract_pages, extracted_text, extraction_matches,
+    assert_extraction_identity, split_extraction)
