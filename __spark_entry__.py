@@ -75,8 +75,10 @@ from doppel_spark.operators.lines import (  # noqa: E402
     dup_line_char_fraction_micros,
     dup_line_fraction_micros,
     line_dedup,
+    line_dedup_within_doc,
     top_ngram_mass,
 )
+from doppel_spark.operators.lm import ccnet_buckets, doc_xent  # noqa: E402
 from doppel_spark.operators.neardup import near_dup_pipeline  # noqa: E402
 from doppel_spark.operators.similarity import (  # noqa: E402
     brute_force_topk,
@@ -518,6 +520,40 @@ def _q_line_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         dup_line_fraction_micros("text"),
         dup_line_char_fraction_micros("text"),
+    )
+
+
+def _q_line_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style INTRA-document line dedup over the planted line
+    corpus: every 7th doc repeats its own first line, which must be
+    dropped (n_lines_dropped = 1) while the cross-document boilerplate
+    line (every 5th doc) survives everywhere — within-doc dedup must
+    not touch cross-doc sharing. Pure per-row Catalyst, zero shuffle."""
+    return line_dedup_within_doc(_line_docs(spark, sf_dir), id_col="doc_id")
+
+
+def _q_unigram_xent_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring, step 1: per-document cross-entropy
+    under a self-trained unigram LM (corpus token frequencies →
+    integer micro-nat log-probs → exact integer per-doc mean). The
+    whole chain — training included — is mirrored in the DuckDB oracle;
+    log-probs are snapped to integers per VOCAB ENTRY before any
+    summation, so scores are engine-order-independent (operators/lm.py)."""
+    return doc_xent(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def _q_ccnet_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring, step 2: label every document
+    head/middle/tail by exact disc-terciles of the score distribution
+    and roll up per-bucket counts + score ranges. Cutoffs come from a
+    cumulative window over the (score → count) HISTOGRAM — distinct
+    integer scores only, so the global window is safe at any corpus
+    size (operators/lm.py scale notes)."""
+    b = ccnet_buckets(_docs(spark, sf_dir).select("doc_id", "text"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("xent_micros").alias("min_xent"),
+        F.max("xent_micros").alias("max_xent"),
     )
 
 
@@ -1642,7 +1678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_skew_stats": _q_neardup_skew_stats,
         "checkpoint_resume": _q_checkpoint_resume,
         "line_dedup_docs": _q_line_dedup_docs,
+        "line_dedup_within": _q_line_dedup_within,
         "line_repetition_stats": _q_line_repetition_stats,
+        "unigram_xent_scores": _q_unigram_xent_scores,
+        "ccnet_bucket_stats": _q_ccnet_bucket_stats,
         "top_bigram_mass": _q_top_bigram_mass,
         "pii_redaction": _q_pii_redaction,
         "decontamination_report": _q_decontamination_report,
@@ -2467,6 +2506,91 @@ def oracle_sql() -> dict[str, str]:
             WITH {_LINE_DOCS_SQL},
             {_line_dedup_chain_sql('line_docs')}
             {_LINE_DEDUP_FINAL_SQL}
+        """,
+        "line_dedup_within": f"""
+            WITH {_LINE_DOCS_SQL},
+            arrs AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(string_split(text, chr(10)),
+                                      x -> trim(x)),
+                       x -> x <> '') AS l
+              FROM line_docs
+            ), kept AS (
+              SELECT doc_id, l,
+                     list_transform(
+                       list_filter(range(1, len(l) + 1),
+                                   i -> list_position(l, l[i]) = i),
+                       i -> l[i]) AS k
+              FROM arrs
+            )
+            SELECT doc_id,
+                   COALESCE(array_to_string(k, chr(10)), '') AS text_clean,
+                   CAST(len(k) AS BIGINT) AS n_lines_kept,
+                   CAST(len(l) - len(k) AS BIGINT) AS n_lines_dropped
+            FROM kept
+        """,
+        "unigram_xent_scores": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+            ),
+            cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+            tot AS (SELECT SUM(n) AS t FROM cnt),
+            lm AS (
+              SELECT token,
+                     CAST(FLOOR(-1000000.0 * ln(CAST(n AS DOUBLE)
+                                                / CAST(t AS DOUBLE)))
+                          AS BIGINT) AS lpm
+              FROM cnt, tot
+            ),
+            dt AS (SELECT doc_id, token, COUNT(*) AS c
+                   FROM tok GROUP BY doc_id, token),
+            per AS (SELECT doc_id, SUM(c * lpm) AS sum_lpm,
+                           SUM(c) AS n_tokens
+                    FROM dt JOIN lm USING (token) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(sum_lpm, 0) AS BIGINT) AS sum_lpm,
+                   CAST(FLOOR(CAST(sum_lpm AS DOUBLE) / n_tokens)
+                        AS BIGINT) AS xent_micros
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "ccnet_bucket_stats": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents
+            ),
+            cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token),
+            tot AS (SELECT SUM(n) AS t FROM cnt),
+            lm AS (
+              SELECT token,
+                     CAST(FLOOR(-1000000.0 * ln(CAST(n AS DOUBLE)
+                                                / CAST(t AS DOUBLE)))
+                          AS BIGINT) AS lpm
+              FROM cnt, tot
+            ),
+            dt AS (SELECT doc_id, token, COUNT(*) AS c
+                   FROM tok GROUP BY doc_id, token),
+            per AS (SELECT doc_id, SUM(c * lpm) AS sum_lpm,
+                           SUM(c) AS n_tokens
+                    FROM dt JOIN lm USING (token) GROUP BY doc_id),
+            sc AS (SELECT doc_id,
+                          CAST(FLOOR(CAST(sum_lpm AS DOUBLE) / n_tokens)
+                               AS BIGINT) AS x
+                   FROM per),
+            hist AS (SELECT x, COUNT(*) AS c FROM sc GROUP BY x),
+            cum AS (SELECT x, SUM(c) OVER (ORDER BY x) AS cum FROM hist),
+            n AS (SELECT SUM(c) AS t FROM hist),
+            th AS (SELECT MIN(CASE WHEN cum >= (t + 2) // 3 THEN x END)
+                            AS t1,
+                          MIN(CASE WHEN cum >= (2 * t + 2) // 3 THEN x END)
+                            AS t2
+                   FROM cum, n)
+            SELECT CASE WHEN x <= t1 THEN 'head'
+                        WHEN x <= t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   COUNT(*) AS n_docs,
+                   MIN(x) AS min_xent, MAX(x) AS max_xent
+            FROM sc, th GROUP BY 1
         """,
         "line_repetition_stats": f"""
             WITH {_LINE_DOCS_SQL},

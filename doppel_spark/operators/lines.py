@@ -122,6 +122,41 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def line_dedup_within_doc(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Intra-document line dedup: keep each (trimmed, non-blank) line's
+    FIRST occurrence within its own document, drop later repeats.
+
+    The within-doc counterpart of :func:`line_dedup` (which elects one
+    winner per line across the whole corpus): a Dolma-style cleanup for
+    documents that repeat their own boilerplate (headers re-inserted by
+    pagination, duplicated paragraphs from bad extraction) without
+    touching cross-document sharing. Documents are kept even when empty
+    after the cut (``text_clean`` = '') — unlike the corpus-wide op,
+    nothing here can orphan a document, so no rows are dropped.
+
+    Returns ``(id, text_clean, n_lines_kept, n_lines_dropped)`` —
+    the same shape as :func:`line_dedup`.
+
+    Scale: pure per-row Catalyst (higher-order array expressions); ZERO
+    shuffle, composes with scan pushdown. A line survives iff
+    ``array_position(lines, line)`` (first 1-based occurrence) equals
+    its own position — first occurrences keep document order for free.
+    Quadratic in lines-per-document (array_position per line), which is
+    bounded by document size, not corpus size.
+    """
+    lines = nonblank_lines(text_col)
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1))
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("text_clean"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("long")
+        .alias("n_lines_dropped"),
+    )
+
+
 def dup_line_fraction_micros(text: Column | str) -> Column:
     """⌊10⁶ · (repeated non-blank lines / non-blank lines)⌋; 0 if none.
 

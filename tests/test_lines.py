@@ -23,6 +23,7 @@ from doppel_spark.operators.lines import (  # noqa: E402
     dup_line_char_fraction_micros,
     dup_line_fraction_micros,
     line_dedup,
+    line_dedup_within_doc,
     split_lines,
     top_ngram_mass,
 )
@@ -61,6 +62,37 @@ def test_line_dedup_keeps_first_global_occurrence(spark):
     assert (out[2]["n_lines_kept"], out[2]["n_lines_dropped"]) == (1, 2)
     # doc 3 is all-duplicate → dropped entirely
     assert 3 not in out
+
+
+def test_line_dedup_within_doc(spark):
+    out = {r["doc_id"]: r
+           for r in line_dedup_within_doc(_line_corpus(spark)).collect()}
+    # within-doc: cross-document sharing is untouched — docs 1 and 3
+    # both keep "shared line" / "alpha one" even though they repeat
+    # across documents
+    assert out[1]["text_clean"] == "alpha one\nshared line\nalpha two"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_dropped"]) == (3, 0)
+    # doc 2 loses only its OWN repeat of "beta one"; first occurrence
+    # order is preserved
+    assert out[2]["text_clean"] == "beta one\nshared line"
+    assert (out[2]["n_lines_kept"], out[2]["n_lines_dropped"]) == (2, 1)
+    # doc 3 has no intra-doc repeats → unchanged (trimmed)
+    assert out[3]["text_clean"] == "shared line\nalpha one"
+    assert (out[3]["n_lines_kept"], out[3]["n_lines_dropped"]) == (2, 0)
+
+
+def test_line_dedup_within_doc_keeps_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "\n\n  \n"), (3, "x\nx\nx")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in line_dedup_within_doc(df).collect()}
+    # unlike the corpus-wide op, nothing is ever dropped: blank docs
+    # come back with empty text_clean and zero counts
+    assert set(out) == {1, 2, 3}
+    assert out[1]["text_clean"] == "" and out[1]["n_lines_kept"] == 0
+    assert out[2]["text_clean"] == "" and out[2]["n_lines_dropped"] == 0
+    assert out[3]["text_clean"] == "x"
+    assert (out[3]["n_lines_kept"], out[3]["n_lines_dropped"]) == (1, 2)
 
 
 def test_dup_line_fractions(spark):
