@@ -56,6 +56,8 @@ from doppel_spark.operators.dedup import (  # noqa: E402
     dedup_assignments,
     dedup_stats,
 )
+from doppel_spark.operators.bloom import cross_snapshot_new_bloom  # noqa: E402
+from doppel_spark.operators.bucketed import snapshot_intersection  # noqa: E402
 from doppel_spark.operators.quota import (  # noqa: E402
     HOST_CAP_SEED,
     cap_per_host,
@@ -820,6 +822,51 @@ def _q_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.filter(F.col("doc_id") % 5 == 0).unionByName(refetch)
     return cross_snapshot_new(incoming, seen, id_col="doc_id") \
         .select("doc_id", "lang", "n_chars")
+
+
+def _q_incremental_new_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same cross-snapshot plant as ``incremental_new_docs``, run
+    through the broadcast-Bloom prefilter
+    (:func:`doppel_spark.operators.bloom.cross_snapshot_new_bloom`) —
+    rows the bloom rejects bypass the anti-join as provably new, the
+    maybe-seen trickle gets the exact check. Output is row-identical
+    to the exact path at ANY false-positive rate (bloom FPs only cost
+    extra join rows, never correctness), so the oracle is the SAME
+    anti-join SQL — the contract row proves the prefilter changes
+    traffic, not answers."""
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 5 != 0)
+    refetch = (docs.filter(F.col("doc_id") % 5 == 1)
+               .withColumn("doc_id",
+                           F.col("doc_id") + F.lit(INCR_REFETCH_OFFSET)))
+    incoming = docs.filter(F.col("doc_id") % 5 == 0).unionByName(refetch)
+    return cross_snapshot_new_bloom(incoming, seen, id_col="doc_id",
+                                    fpr=0.01) \
+        .select("doc_id", "lang", "n_chars")
+
+
+def _q_bucketed_snapshot_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content shared by two snapshots via BUCKETED digest tables
+    (:mod:`doppel_spark.operators.bucketed`): each side pays its
+    bucket shuffle once at write, then the sort-merge join runs with
+    ZERO Exchange nodes — asserted mechanically here (the scale
+    property IS part of the contract, not just the values). Snapshots:
+    A = doc_id % 2 = 0, B = doc_id % 3 = 0; all sf texts are distinct,
+    so the overlap is exactly the multiples of 6."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from doppel_spark.plans.inspect import assert_no_exchange
+
+    docs = _docs(spark, sf_dir)
+    scratch = tempfile.mkdtemp(prefix="doppel_bkt_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    out = snapshot_intersection(
+        spark, docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 3 == 0), scratch, id_col="doc_id")
+    assert_no_exchange(out)
+    return out
 
 
 # --- rows-only (hash-function-defined; no ANSI-SQL oracle possible) --------
@@ -1694,6 +1741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_cut_funnel": _q_training_cut_funnel,
         "url_canonical_dups": _q_url_canonical_dups,
         "incremental_new_docs": _q_incremental_new_docs,
+        "incremental_new_docs_bloom": _q_incremental_new_docs_bloom,
+        "bucketed_snapshot_overlap": _q_bucketed_snapshot_overlap,
         "host_profile": _q_host_profile,
         "host_cap_sample": _q_host_cap_sample,
         "dedup_keep_best_planted": _q_dedup_keep_best_planted,
@@ -2879,6 +2928,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM incoming
             WHERE text IS NULL
                OR sha256(text) NOT IN (SELECT digest FROM seen)
+        """,
+        # the bloom prefilter is row-identical to the exact anti-join
+        # BY CONSTRUCTION (false positives only re-route rows to the
+        # exact check) — the oracle is therefore the same SQL, and a
+        # bloom that ever false-NEGATIVES (drops a genuinely-new doc)
+        # fails this row
+        "incremental_new_docs_bloom": f"""
+            WITH seen AS (
+              SELECT DISTINCT sha256(text) AS digest
+              FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL
+            ), incoming AS (
+              SELECT doc_id, lang, n_chars, text
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + {INCR_REFETCH_OFFSET} AS doc_id, lang, n_chars,
+                     text
+              FROM documents WHERE doc_id % 5 = 1
+            )
+            SELECT doc_id, lang, n_chars FROM incoming
+            WHERE text IS NULL
+               OR sha256(text) NOT IN (SELECT digest FROM seen)
+        """,
+        "bucketed_snapshot_overlap": """
+            WITH a AS (
+              SELECT sha256(text) AS digest, MIN(doc_id) AS doc_id_a,
+                     COUNT(*) AS n_docs_a
+              FROM documents WHERE doc_id % 2 = 0 AND text IS NOT NULL
+              GROUP BY 1
+            ), b AS (
+              SELECT sha256(text) AS digest, MIN(doc_id) AS doc_id_b,
+                     COUNT(*) AS n_docs_b
+              FROM documents WHERE doc_id % 3 = 0 AND text IS NOT NULL
+              GROUP BY 1
+            )
+            SELECT a.digest, doc_id_a, doc_id_b, n_docs_a, n_docs_b
+            FROM a JOIN b ON a.digest = b.digest
         """,
         # minhash_lsh_clusters / simhash_fingerprints / simhash_near_pairs /
         # substring_pairs / doc_fingerprints / ann_topk_lsh / ann_topk_ivf /

@@ -40,6 +40,21 @@ def assert_no_row_python(df: DataFrame) -> None:
         )
 
 
+def assert_no_exchange(df: DataFrame) -> None:
+    """Fail if the physical plan moves data between executors at all.
+
+    "Exchange" covers both shuffle (``Exchange hashpartitioning``…)
+    and broadcast (``BroadcastExchange``) nodes — the check a
+    co-located bucketed join must pass: with both sides bucketed on
+    the join key into the same bucket count, a sort-merge join reads
+    bucket i of each table in the same task and NOTHING crosses the
+    wire (doppel_spark.operators.bucketed).
+    """
+    plan = physical_plan(df)
+    if "Exchange" in plan:
+        raise AssertionError("plan moves data (Exchange present):\n" + plan)
+
+
 def scan_read_schema(df: DataFrame) -> list[str]:
     """ReadSchema column lists of every parquet scan in the plan —
     verifies column pruning (e.g. `html` absent when unused)."""
