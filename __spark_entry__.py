@@ -58,6 +58,7 @@ from doppel_spark.operators.dedup import (  # noqa: E402
 )
 from doppel_spark.operators.bloom import cross_snapshot_new_bloom  # noqa: E402
 from doppel_spark.operators.bucketed import snapshot_intersection  # noqa: E402
+from doppel_spark.operators.graph import RANK_SCALE, host_rank  # noqa: E402
 from doppel_spark.operators.quota import (  # noqa: E402
     HOST_CAP_SEED,
     cap_per_host,
@@ -867,6 +868,29 @@ def _q_bucketed_snapshot_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 3 == 0), scratch, id_col="doc_id")
     assert_no_exchange(out)
     return out
+
+
+#: host-rank plant: 37 hosts, link target = affine map of doc_id (11 is
+#: coprime to 37, so targets cover every host), 5 power-iteration rounds
+HR_HOSTS, HR_MUL, HR_ADD, HR_ITER = 37, 11, 3, 5
+HR_DNUM, HR_DDEN = 85, 100
+
+
+def _q_host_rank_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-quality PageRank over a construction-pinned host link
+    graph (:func:`doppel_spark.operators.graph.host_rank`): hosts are
+    ``doc_id % 37``, each doc links its host to an affine image, and 5
+    integer power-iteration rounds run in exact micro-unit arithmetic —
+    so the DuckDB oracle (5 chained CTEs of the SAME multiply +
+    floor-divide steps) must hash-match every rank to the last digit,
+    across any partitioning. A float ranker could not make this
+    contract; see the module docstring for why the engine refuses one."""
+    docs = _docs(spark, sf_dir)
+    edges = docs.select(
+        (F.col("doc_id") % HR_HOSTS).alias("src"),
+        ((F.col("doc_id") * HR_MUL + HR_ADD) % HR_HOSTS).alias("dst"))
+    return host_rank(edges, iterations=HR_ITER,
+                     damping_num=HR_DNUM, damping_den=HR_DDEN)
 
 
 # --- rows-only (hash-function-defined; no ANSI-SQL oracle possible) --------
@@ -1743,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_new_docs": _q_incremental_new_docs,
         "incremental_new_docs_bloom": _q_incremental_new_docs_bloom,
         "bucketed_snapshot_overlap": _q_bucketed_snapshot_overlap,
+        "host_rank_planted": _q_host_rank_planted,
         "host_profile": _q_host_profile,
         "host_cap_sample": _q_host_cap_sample,
         "dedup_keep_best_planted": _q_dedup_keep_best_planted,
@@ -2116,6 +2141,47 @@ _MEMBERS_PLANTED_SQL = """
 """
 
 _NDCFG = NearDupConfig()
+
+
+def _host_rank_sql() -> str:
+    """Chained-CTE mirror of the 5 integer power-iteration rounds (see
+    _q_host_rank_planted): r0 = uniform micro-mass, each rK applies the
+    SAME multiply + floor-divide (`//`) steps as the Spark operator's
+    `div` expressions, so ranks are exact-integer-equal. Sums are
+    CAST to BIGINT at the end (DuckDB integer SUM is HUGEINT)."""
+    n_sub = "(SELECT n FROM c)"
+    tele = f"({HR_DDEN} - {HR_DNUM}) * {RANK_SCALE} // ({HR_DDEN} * {n_sub})"
+    sql = [f"""
+        WITH edges AS (
+          SELECT doc_id % {HR_HOSTS} AS src,
+                 (doc_id * {HR_MUL} + {HR_ADD}) % {HR_HOSTS} AS dst,
+                 COUNT(*) AS w
+          FROM documents GROUP BY 1, 2
+        ), nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), outw AS (
+          SELECT src, SUM(w) AS out_w FROM edges GROUP BY 1
+        ), c AS (
+          SELECT COUNT(*) AS n FROM nodes
+        ), r0 AS (
+          SELECT node, {RANK_SCALE} // {n_sub} AS score FROM nodes
+        )"""]
+    for k in range(1, HR_ITER + 1):
+        sql.append(f""", r{k} AS (
+          SELECT nd.node,
+                 {tele} + {HR_DNUM} * COALESCE(i.s, 0) // {HR_DDEN} AS score
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.score * e.w // o.out_w) AS s
+            FROM edges e
+            JOIN r{k - 1} r ON r.node = e.src
+            JOIN outw o ON o.src = e.src
+            GROUP BY 1
+          ) i ON i.node = nd.node
+        )""")
+    sql.append(f"""
+        SELECT node AS host, CAST(score AS BIGINT) AS rank_micros
+        FROM r{HR_ITER}""")
+    return "".join(sql)
 
 
 def _skew_stats_sql() -> str:
@@ -2950,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE text IS NULL
                OR sha256(text) NOT IN (SELECT digest FROM seen)
         """,
+        "host_rank_planted": _host_rank_sql(),
         "bucketed_snapshot_overlap": """
             WITH a AS (
               SELECT sha256(text) AS digest, MIN(doc_id) AS doc_id_a,
