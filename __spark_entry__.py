@@ -59,6 +59,7 @@ from doppel_spark.operators.dedup import (  # noqa: E402
 from doppel_spark.operators.bloom import cross_snapshot_new_bloom  # noqa: E402
 from doppel_spark.operators.bucketed import snapshot_intersection  # noqa: E402
 from doppel_spark.operators.graph import RANK_SCALE, host_rank  # noqa: E402
+from doppel_spark.functions.links import host_edges  # noqa: E402
 from doppel_spark.operators.quota import (  # noqa: E402
     HOST_CAP_SEED,
     cap_per_host,
@@ -891,6 +892,42 @@ def _q_host_rank_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * HR_MUL + HR_ADD) % HR_HOSTS).alias("dst"))
     return host_rank(edges, iterations=HR_ITER,
                      damping_num=HR_DNUM, damping_den=HR_DDEN)
+
+
+#: outlink plant: 13 hosts; link 1 targets an affine image (self when
+#: doc_id % 13 = 2 — must drop), link 2 a www./port/case variant (self
+#: when doc_id % 13 = 0), link 3 is relative (always dropped)
+HLE_HOSTS = 13
+
+
+def _q_host_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction → host edge list over deterministic synthetic
+    html (:func:`doppel_spark.functions.links.host_edges`). Each page
+    carries one plain absolute link, one link hidden behind uppercase
+    ``HREF`` + ``https://www.`` + ``:443`` (the canonicalizer must see
+    through all three), and one relative link that must be dropped; the
+    planted self-link residues must vanish via the dst ≠ src rule. The
+    oracle mirrors the extraction REGEXES and host canonicalization
+    literally (RE2-subset, the urls.py convention) — a missed HREF,
+    kept relative link, or unstripped www./port shows up as a row or
+    weight difference."""
+    docs = _docs(spark, sf_dir)
+
+    def h(e):
+        return F.concat(F.lit("h"), e.cast("string"), F.lit(".example.com"))
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="http://'),
+        h((d * 7 + 1) % HLE_HOSTS),
+        F.lit('/p">x</a><a HREF="https://www.'),
+        h((d * 3) % HLE_HOSTS),
+        F.lit(':443/q">y</a><a href="/rel/skip">r</a></body></html>'))
+    pages = docs.select(
+        F.concat(F.lit("http://"), h(d % HLE_HOSTS), F.lit("/d/"),
+                 d.cast("string")).alias("url"),
+        html.alias("html"))
+    return host_edges(pages)
 
 
 # --- rows-only (hash-function-defined; no ANSI-SQL oracle possible) --------
@@ -1768,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_new_docs_bloom": _q_incremental_new_docs_bloom,
         "bucketed_snapshot_overlap": _q_bucketed_snapshot_overlap,
         "host_rank_planted": _q_host_rank_planted,
+        "host_link_edges": _q_host_link_edges,
         "host_profile": _q_host_profile,
         "host_cap_sample": _q_host_cap_sample,
         "dedup_keep_best_planted": _q_dedup_keep_best_planted,
@@ -3017,6 +3055,39 @@ def oracle_sql() -> dict[str, str]:
                OR sha256(text) NOT IN (SELECT digest FROM seen)
         """,
         "host_rank_planted": _host_rank_sql(),
+        # literal mirror of links.py: same href/abs-link regexes
+        # (RE2-subset by construction), same host canonicalization
+        # chain (lower → strip ^www. → strip :port) in the same order
+        "host_link_edges": f"""
+            WITH pages AS (
+              SELECT 'http://h' || CAST(doc_id % {HLE_HOSTS} AS VARCHAR)
+                       || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+                     '<html><body><a href="http://h'
+                       || CAST((doc_id * 7 + 1) % {HLE_HOSTS} AS VARCHAR)
+                       || '.example.com/p">x</a><a HREF="https://www.h'
+                       || CAST((doc_id * 3) % {HLE_HOSTS} AS VARCHAR)
+                       || '.example.com:443/q">y</a>'
+                       || '<a href="/rel/skip">r</a></body></html>' AS html
+              FROM documents
+            ), raw AS (
+              SELECT url, UNNEST(regexp_extract_all(html,
+                       '[hH][rR][eE][fF]="([^"]*)"', 1)) AS link
+              FROM pages
+            ), hosts AS (
+              SELECT
+                regexp_replace(regexp_replace(lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  '^www\\.', ''), ':[0-9]+$', '') AS src,
+                regexp_replace(regexp_replace(lower(regexp_extract(link,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  '^www\\.', ''), ':[0-9]+$', '') AS dst
+              FROM raw
+              WHERE regexp_matches(link, '^[hH][tT][tT][pP][sS]?://')
+            )
+            SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+            FROM hosts WHERE dst <> '' AND dst <> src
+            GROUP BY 1, 2
+        """,
         "bucketed_snapshot_overlap": """
             WITH a AS (
               SELECT sha256(text) AS digest, MIN(doc_id) AS doc_id_a,
