@@ -20,7 +20,11 @@ bounded window (the last K crawls; ~10^9 digests → 1.4 GB, within
 Spark's broadcast ceiling) or per digest-range partition, with the
 exact anti-join as the unconditional authority behind it. This module
 implements the single-broadcast building block; windowing is table
-layout, not operator logic.
+layout, not operator logic. Bitmaps COMPOSE by bitwise OR (same
+n_bits/n_hashes), so production maintenance is incremental: each crawl
+builds a bloom over only its own new digests and the window's filter
+is the OR of the last K crawl bitmaps — the accumulated digest set is
+never re-scanned.
 
 Hashing: positions come from double hashing (Kirsch–Mitzenmacher,
 "Less Hashing, Same Performance", 2006) over two independent JVM-side
