@@ -62,6 +62,15 @@ HEADLINE = [
     "substring_pairs",
     "line_dedup_docs",
     "decontamination_report",
+    # round-5 additions (BENCH/NOTES_r5.md "headline set history"):
+    # the set grew 18 → 24, so compare BENCH_r05 to earlier rounds
+    # per-query, not by the `value` total.
+    "url_canonical_dups",
+    "incremental_new_docs",
+    "host_link_edges",
+    "pii_redaction",
+    "packed_sequences",
+    "gopher_filter",
 ]
 
 FLAGSHIP_DOCS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_DOCS", "20000"))
