@@ -75,7 +75,9 @@ from doppel_spark.operators.contamination import (  # noqa: E402
     decontaminate,
 )
 from doppel_spark.operators.exact import exact_dup_pipeline  # noqa: E402
+from doppel_spark.operators.blocklist import url_blocklist_filter  # noqa: E402
 from doppel_spark.operators.lines import (  # noqa: E402
+    boilerplate_line_filter,
     dup_line_char_fraction_micros,
     dup_line_fraction_micros,
     line_dedup,
@@ -159,6 +161,19 @@ HOT_CAP = 32
 #: signals) — both plants are non-vacuous at every SF
 LINE_WRAP = 8
 BOILER_LINE = "subscribe now click here to continue reading"
+#: document-frequency threshold for the boilerplate_lines contract —
+#: the planted BOILER_LINE sits in every 5th doc (df ≫ 3 at every SF),
+#: so the cut is non-vacuous AND must remove the first occurrence
+#: line_dedup deliberately keeps
+BOILER_MIN_DF = 3
+#: blocklist contract config over the URL-variant corpus: blocking the
+#: registrable host 'example.org' must catch blog.example.org (and its
+#: cased/port variants) via the subdomain-closed suffix match while the
+#: news host passes; the second entry hits nothing (exercises the
+#: broadcast list without changing results). The path pattern blocks
+#: news articles whose article number ends in 7 (both URL variants).
+BLOCK_HOSTS = ("example.org", "tracker.spam.example")
+BLOCK_PATH_PATTERN = r"articles/[0-9]*7[/?]"
 #: PII planting mods: every 3rd doc gets an email, every 4th an IPv4
 PII_EMAIL_MOD = 3
 PII_IP_MOD = 4
@@ -534,6 +549,34 @@ def _q_line_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     line (every 5th doc) survives everywhere — within-doc dedup must
     not touch cross-doc sharing. Pure per-row Catalyst, zero shuffle."""
     return line_dedup_within_doc(_line_docs(spark, sf_dir), id_col="doc_id")
+
+
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency boilerplate cut over the planted line corpus:
+    the shared BOILER_LINE (every 5th doc → df ≫ BOILER_MIN_DF) must be
+    removed from EVERY document — including the first occurrence
+    line_dedup keeps — while doc-unique lines (and the every-7th-doc
+    intra-doc repeat, which never raises document frequency) survive
+    intact. The oracle counts df on the line TEXT itself, so the Spark
+    side's xxhash64 frequency key is collision-checked, not trusted."""
+    return boilerplate_line_filter(_line_docs(spark, sf_dir),
+                                   min_df=BOILER_MIN_DF, id_col="doc_id")
+
+
+def _q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-based curation gate over the URL-variant corpus: the
+    blocklist entry ``example.org`` must block the blog host in all its
+    case/port spellings via the subdomain-closed suffix equi-join
+    (never a LIKE theta-join), the news host passes the host rule, and
+    articles numbered *7 fall to the path pattern — reason precedence
+    (host > path) is part of the contract. Dead second entry exercises
+    the broadcast blocklist without changing results."""
+    bl = spark.createDataFrame([(h,) for h in BLOCK_HOSTS], "host string")
+    return url_blocklist_filter(
+        _url_pages(spark, sf_dir), bl,
+        path_patterns=[BLOCK_PATH_PATTERN],
+        url_col="url", id_col="doc_id",
+    )
 
 
 def _q_unigram_xent_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1787,6 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_resume": _q_checkpoint_resume,
         "line_dedup_docs": _q_line_dedup_docs,
         "line_dedup_within": _q_line_dedup_within,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "url_blocklist": _q_url_blocklist,
         "line_repetition_stats": _q_line_repetition_stats,
         "unigram_xent_scores": _q_unigram_xent_scores,
         "ccnet_bucket_stats": _q_ccnet_bucket_stats,
@@ -2000,12 +2045,11 @@ def _shingles_sql(text_expr: str, k: int) -> str:
         f"ELSE [''] END")
 
 
-def _line_dedup_chain_sql(src: str) -> str:
-    """DuckDB CTE chain reproducing ``operators.lines.line_dedup`` over
-    the ``src`` CTE's ``(doc_id, text)`` rows — the oracle groups by the
-    line TEXT itself (the Spark side elects winners on xxhash64(line),
-    so a 64-bit collision would fail this compare, not pass silently).
-    Terminate with ``_LINE_DEDUP_FINAL_SQL``."""
+def _nb_lines_sql(src: str) -> str:
+    """DuckDB CTEs exploding the ``src`` CTE's ``(doc_id, text)`` rows
+    to the trimmed non-blank line table ``nb (doc_id, line_no, line)``,
+    ``line_no`` 0-based over the ORIGINAL split (blanks advance it) —
+    the mirror of ``operators.lines.split_lines``."""
     return f"""ln0 AS (
               SELECT doc_id, string_split(text, chr(10)) AS l FROM {src}
             ), ln AS (
@@ -2015,7 +2059,16 @@ def _line_dedup_chain_sql(src: str) -> str:
             ), nb AS (
               SELECT doc_id, line_no, trim(raw) AS line
               FROM ln WHERE trim(raw) <> ''
-            ), ranked AS (
+            )"""
+
+
+def _line_dedup_chain_sql(src: str) -> str:
+    """DuckDB CTE chain reproducing ``operators.lines.line_dedup`` over
+    the ``src`` CTE's ``(doc_id, text)`` rows — the oracle groups by the
+    line TEXT itself (the Spark side elects winners on xxhash64(line),
+    so a 64-bit collision would fail this compare, not pass silently).
+    Terminate with ``_LINE_DEDUP_FINAL_SQL``."""
+    return f"""{_nb_lines_sql(src)}, ranked AS (
               SELECT doc_id, line_no, line,
                      row_number() OVER (PARTITION BY line
                                         ORDER BY doc_id, line_no) AS rn
@@ -2660,6 +2713,24 @@ def oracle_sql() -> dict[str, str]:
             {_line_dedup_chain_sql('line_docs')}
             {_LINE_DEDUP_FINAL_SQL}
         """,
+        # the df threshold is counted on the line TEXT (count(DISTINCT
+        # doc_id)), so the Spark side's xxhash64 frequency key is
+        # collision-checked by the compare, exactly as in line_dedup
+        "boilerplate_lines": f"""
+            WITH {_LINE_DOCS_SQL},
+            {_nb_lines_sql('line_docs')},
+            blocked AS (
+              SELECT line FROM nb
+              GROUP BY line
+              HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DF}
+            ), kept AS (
+              SELECT nb.doc_id, nb.line_no, nb.line
+              FROM nb ANTI JOIN blocked USING (line)
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_total FROM nb GROUP BY 1
+            )
+            {_LINE_DEDUP_FINAL_SQL}
+        """,
         "line_dedup_within": f"""
             WITH {_LINE_DOCS_SQL},
             arrs AS (
@@ -2960,6 +3031,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
                    min(doc_id) AS rep_id
             FROM canon GROUP BY 1 HAVING count(*) > 1
+        """,
+        # host rule mirrored as the subdomain-closed suffix semantics
+        # (host = entry OR host ends with '.' || entry — exactly what
+        # the Spark side's suffix-chain explode + equi-join computes);
+        # host_of reused from the canon CTE; precedence host > path.
+        "url_blocklist": f"""
+            WITH {_URL_CANON_CTES},
+            bl AS (
+              SELECT unnest([{', '.join(f"'{h}'" for h in BLOCK_HOSTS)}])
+                     AS b
+            )
+            SELECT p.doc_id,
+                   (CASE
+                      WHEN EXISTS (SELECT 1 FROM bl
+                                   WHERE c.host = bl.b
+                                      OR c.host LIKE '%.' || bl.b)
+                        THEN 'blocked_host'
+                      WHEN regexp_matches(lower(p.url),
+                                          '{BLOCK_PATH_PATTERN}')
+                        THEN 'blocked_path'
+                      ELSE 'ok'
+                    END) = 'ok' AS keep,
+                   CASE
+                     WHEN EXISTS (SELECT 1 FROM bl
+                                  WHERE c.host = bl.b
+                                     OR c.host LIKE '%.' || bl.b)
+                       THEN 'blocked_host'
+                     WHEN regexp_matches(lower(p.url),
+                                         '{BLOCK_PATH_PATTERN}')
+                       THEN 'blocked_path'
+                     ELSE 'ok'
+                   END AS reason
+            FROM pages p JOIN canon c USING (doc_id)
         """,
         "host_profile": f"""
             WITH {_URL_CANON_CTES}

@@ -7,6 +7,11 @@ dedup and MinHash near-dup in a training cut:
   non-first occurrence of a (trimmed) line across the whole corpus is
   dropped and documents are reassembled from their surviving lines —
   the classic boilerplate killer (nav bars, cookie banners, footers).
+* :func:`boilerplate_line_filter` — **document-frequency boilerplate
+  cut**: lines appearing in ≥ ``min_df`` distinct documents are
+  removed from EVERY document (including the first occurrence
+  ``line_dedup`` would keep) — template chrome is noise wherever it
+  appears, while unique content is never touched.
 * :func:`dup_line_fraction_micros` / :func:`dup_line_char_fraction_micros`
   — **intra-document repetition signals** (fraction of repeated lines /
   of characters inside repeated lines), pure per-row Catalyst.
@@ -105,6 +110,21 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("line_no")).alias("_keep"))
     )
+    return _reassemble_kept(df, keep_arrays, id_col, text_col)
+
+
+def _reassemble_kept(df: DataFrame, keep_arrays: DataFrame,
+                     id_col: str, text_col: str) -> DataFrame:
+    """Rebuild documents from a slim per-doc keep decision.
+
+    ``keep_arrays`` holds one ``(id, _keep: sorted int array)`` row per
+    surviving document, ``_keep`` indexing into the doc's ORIGINAL
+    ``\\n``-split (blank lines counted). The join back to ``df`` is the
+    only full-row shuffle of the line ops — AQE broadcasts the decision
+    table whenever it fits — and the rebuild itself is per-row array
+    expression work. Documents absent from ``keep_arrays`` (zero
+    surviving lines) are dropped.
+    """
     trimmed = F.transform(F.split(_text_col(text_col), "\n"),
                           lambda x: F.trim(x))
     n_total = F.size(F.filter(trimmed, lambda x: x != ""))
@@ -120,6 +140,53 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
             .alias("n_lines_dropped"),
         )
     )
+
+
+def boilerplate_line_filter(df: DataFrame, min_df: int = 3,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Remove EVERY occurrence of high-document-frequency lines.
+
+    A (trimmed) line is boilerplate iff it appears in at least
+    ``min_df`` DISTINCT documents — nav menus, cookie banners, footer
+    legalese. Unlike :func:`line_dedup` (which keeps the first global
+    occurrence), boilerplate is removed from ALL documents including
+    the first: a line that common is template chrome, not content.
+    Within-doc repetition alone never trips the threshold (document
+    frequency counts each doc once), so a doc-specific refrain
+    survives intact.
+
+    Returns ``(id, text_clean, n_lines_kept, n_lines_dropped)``;
+    documents whose every line is boilerplate are dropped.
+
+    Plan shape — line TEXT never shuffles: the frequency pass
+    aggregates ``(xxhash64(line), id)`` 16-byte rows
+    (``count_distinct`` runs as Spark's two-level partial aggregate);
+    the blocked-key set it yields is SMALL by construction (boilerplate
+    is few distinct lines at high frequency), so the left-anti join
+    against it broadcasts; survivors roll up to one ``(id, int array)``
+    decision row per doc and full rows move only in the final id-join
+    (:func:`_reassemble_kept`). The 64-bit line-hash key merges
+    colliding lines (~2⁻⁶⁴ per distinct-line pair) exactly as in
+    ``line_dedup`` — and as there, the contract oracle groups by the
+    line text itself, so a collision is *caught*, not silently blessed.
+    """
+    if min_df < 2:
+        raise ValueError(f"min_df must be >= 2, got {min_df}")
+    lines = split_lines(df, id_col=id_col, text_col=text_col)
+    keyed = lines.select(id_col, "line_no", F.xxhash64("line").alias("lk"))
+    blocked = (
+        keyed.groupBy("lk")
+        .agg(F.count_distinct(F.col(id_col)).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_df)
+        .select("lk")
+    )
+    keep_arrays = (
+        keyed.join(blocked, "lk", "left_anti")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("line_no")).alias("_keep"))
+    )
+    return _reassemble_kept(df, keep_arrays, id_col, text_col)
 
 
 def line_dedup_within_doc(df: DataFrame, id_col: str = "doc_id",

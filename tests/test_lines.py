@@ -186,3 +186,52 @@ def test_gopher_filter_rules_and_order(spark):
     assert got[4] == (False, "low_stopword")
     assert got[5] == (False, "high_punct")
     assert got[6] == (False, "repetitive")
+
+
+def test_boilerplate_line_filter_removes_all_occurrences(spark):
+    from doppel_spark.operators.lines import boilerplate_line_filter
+
+    rows = [
+        (1, "unique one\nCOOKIE BANNER\ncookie banner"),
+        (2, "beta\ncookie banner  \nbeta"),
+        (3, "cookie banner\ngamma"),
+        (4, "cookie banner"),
+        (5, "delta\ndelta\ndelta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in boilerplate_line_filter(docs, min_df=3).collect()}
+    # 'cookie banner' appears (trimmed) in docs 1,2,3,4 → df=4 ≥ 3:
+    # removed EVERYWHERE, including doc 1's first occurrence —
+    # the semantic line_dedup deliberately does NOT have
+    assert out[1]["text_clean"] == "unique one\nCOOKIE BANNER"
+    # case-sensitive: 'COOKIE BANNER' is a different line (df=1), kept
+    assert out[2]["text_clean"] == "beta\nbeta"
+    assert (out[2]["n_lines_kept"], out[2]["n_lines_dropped"]) == (2, 1)
+    assert out[3]["text_clean"] == "gamma"
+    # boilerplate-only doc vanishes entirely
+    assert 4 not in out
+    # intra-doc repetition alone never reaches the df threshold
+    assert out[5]["text_clean"] == "delta\ndelta\ndelta"
+
+
+def test_boilerplate_line_filter_df_counts_docs_not_occurrences(spark):
+    from doppel_spark.operators.lines import boilerplate_line_filter
+
+    # 'x' occurs 4 times but in only 2 docs → df=2 < 3 → kept
+    rows = [(1, "x\nx\nx"), (2, "x\nother")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in boilerplate_line_filter(docs, min_df=3).collect()}
+    assert out[1]["text_clean"] == "x\nx\nx"
+    assert out[2]["text_clean"] == "x\nother"
+
+
+def test_boilerplate_line_filter_rejects_min_df_below_two(spark):
+    import pytest
+
+    from doppel_spark.operators.lines import boilerplate_line_filter
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="min_df"):
+        boilerplate_line_filter(docs, min_df=1)
