@@ -1782,6 +1782,55 @@ def _q_extract_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "extracted")
 
 
+#: number of synthetic archive shards for the warc_ingest contract
+WARC_SHARDS = 8
+#: epoch for the synthetic WARC-Date stamps (doc_id seconds offset)
+WARC_EPOCH = "2020-01-01 00:00:00"
+
+
+def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-WARC ingestion round-trip: the documents table is serialized
+    into WARC_SHARDS ``WARC/1.0`` archive files (url ``w:%06d``, date =
+    WARC_EPOCH + doc_id seconds, html = the corpus wrapper, HTTP
+    envelope included — the construction the fixture writer
+    ``sources/warc.py:warc_file_bytes`` pins), then
+    :func:`doppel_spark.sources.warc.read_warc` stream-parses them back
+    and the contract hash-checks (url, warc_date, n_bytes,
+    sha256(html)) against the DuckDB replay of the same construction —
+    so header parsing, HTTP-envelope stripping, length-delimited
+    framing, AND byte-exact payload recovery are all value-gated.
+    Fixture files are written driver-side (contract-scale scaffolding
+    only; the SOURCE is distributed — one task per archive file) into a
+    tempdir registered for atexit removal."""
+    import atexit
+    import shutil
+    import tempfile
+    from datetime import datetime as _dt, timedelta as _td
+
+    from doppel_spark.sources.warc import read_warc, warc_file_bytes
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    rows = docs.select("doc_id", "text").collect()
+    epoch = _dt.strptime(WARC_EPOCH, "%Y-%m-%d %H:%M:%S")
+    shards: list[list[tuple[str, str, bytes]]] = [[] for _ in range(WARC_SHARDS)]
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        i = int(r["doc_id"])
+        date = (epoch + _td(seconds=i)).strftime("%Y-%m-%dT%H:%M:%SZ")
+        html = b"<html><body>" + r["text"].encode("utf-8") + b"</body></html>"
+        shards[i % WARC_SHARDS].append((f"w:{i:06d}", date, html))
+    tmp = tempfile.mkdtemp(prefix="doppel_warc_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    for s, recs in enumerate(shards):
+        with open(f"{tmp}/shard-{s:02d}.warc", "wb") as fh:
+            fh.write(warc_file_bytes(recs))
+    src = read_warc(spark, tmp)
+    return src.pages.select(
+        "url", "warc_date",
+        F.length("html").cast("long").alias("n_bytes"),
+        F.sha2("html", 256).alias("digest"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_members": _q_exact_dup_members,
@@ -1797,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_summary": _q_dedup_summary,
         "token_stats": _q_token_stats,
         "extract_text_roundtrip": _q_extract_text_roundtrip,
+        "warc_ingest": _q_warc_ingest,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality_scores,
         "quick_digest_buckets": _q_quick_digest_buckets,
@@ -2505,6 +2555,23 @@ def oracle_sql() -> dict[str, str]:
                    regexp_extract(decode(html),
                                   '(?s)<body>(.*)</body>', 1) AS extracted
             FROM pages
+        """,
+        # replays the warc_ingest fixture construction (never the
+        # parser): url/date/wrapper-html from doc_id + text, so the
+        # compare gates the whole serialize→stream-parse→strip chain
+        "warc_ingest": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<html><body>' || text || '</body></html>' AS html
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT printf('w:%06d', doc_id) AS url,
+                   strftime(TIMESTAMP '{WARC_EPOCH}'
+                              + doc_id * INTERVAL 1 SECOND,
+                            '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                   CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes,
+                   sha256(html) AS digest
+            FROM h
         """,
         "lang_id": _lang_id_sql(),
         "quality_scores": _quality_sql(),
