@@ -19,8 +19,9 @@ a time (`training_cut_funnel`, `url_canonical_dups`, `gopher_filter`,
 order — each stage only ever sees the previous stage's survivors:
 
     (extraction byte-identity gate, optional)
-    → filter → URL-canonical dedup → exact dedup → PII redaction
-    → corpus line dedup → Gopher quality filter → decontamination
+    → filter → blocklist → URL-canonical dedup → exact dedup
+    → PII redaction → df-threshold boilerplate cut → corpus line dedup
+    → Gopher quality filter → decontamination
     → per-host cap → hash splits → train token-budget cut
     → hash-ordered training shards (+ val/test parquet)
 
@@ -57,6 +58,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", action="append", default=[],
                    help="pages parquet path (repeatable for multiple segments)")
+    p.add_argument("--warc-input", action="append", default=[],
+                   help="raw WARC archive root (file/dir/glob, repeatable): "
+                        "stream-parse records, extract text from html, "
+                        "lang-ID it, and feed the funnel — the full "
+                        "crawl-to-cut path (doppel_spark/sources/warc.py)")
     p.add_argument("--synth-docs", type=int, default=0,
                    help="generate a synthetic corpus of N docs instead of --input")
     p.add_argument("--output", required=True)
@@ -72,6 +78,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="eval-set parquet (needs a `text` column); enables "
                         "exact n-gram decontamination (repeatable)")
     p.add_argument("--decontaminate-ngram", type=int, default=13)
+    p.add_argument("--blocklist", default=None,
+                   help="host blocklist (subdomain-closed): a .txt file of "
+                        "one registrable host per line, or a parquet with a "
+                        "`host` column")
+    p.add_argument("--block-url-patterns", default=None,
+                   help="comma-separated regexes blocking lowercased URLs")
+    p.add_argument("--boilerplate-min-df", type=int, default=0,
+                   help="remove every line appearing in >= N distinct docs "
+                        "(0 disables the document-frequency boilerplate cut)")
     p.add_argument("--max-per-host", type=int, default=0,
                    help="0 disables the per-host cap")
     p.add_argument("--token-budget", type=int, default=0,
@@ -124,9 +139,22 @@ def main(argv: list[str] | None = None) -> dict:
     if args.synth_docs:
         from doppel_spark.corpus import synth_pages
         pages = synth_pages(spark, args.synth_docs)
+    elif args.warc_input:
+        # the full crawl-to-cut path: raw archives → stream-parse →
+        # extract text from the html payload → lang-ID → funnel. The
+        # extraction IS the text here, so the byte-identity gate is
+        # satisfied by construction (the parquet path is where it bites).
+        from doppel_spark.functions.extract import extracted_text
+        from doppel_spark.functions.text import lang_id
+        from doppel_spark.sources.warc import read_warc
+        raw = read_warc(spark, args.warc_input).pages
+        pages = raw.select(
+            "url", "warc_ts", "html",
+            extracted_text("html").alias("text"),
+            lang_id(extracted_text("html")).alias("lang"))
     else:
         if not args.input:
-            raise SystemExit("need --input or --synth-docs")
+            raise SystemExit("need --input, --warc-input, or --synth-docs")
         pages = read_pages(spark, args.input).pages
     # optional entry gate: the stored text must be what extraction over
     # the stored html yields, byte for byte (the north-rule per-row
@@ -158,7 +186,8 @@ def main(argv: list[str] | None = None) -> dict:
                args.decontaminate_ngram, sorted(args.eval),
                args.max_per_host, args.token_budget, args.shards,
                args.skip_line_dedup, args.skip_quality,
-               args.verify_extraction)
+               args.verify_extraction, args.blocklist,
+               args.block_url_patterns, args.boilerplate_min_df)
     store = CheckpointStore(spark, args.checkpoint, run_config=run_cfg)
     t0 = time.time()
 
@@ -175,12 +204,48 @@ def main(argv: list[str] | None = None) -> dict:
                 .select(F.col("w.url").alias("url")))
         return df.join(keep, "url", "left_semi")
 
+    block_reasons: dict[str, int] = {}
+    if args.blocklist or args.block_url_patterns:
+        from doppel_spark.operators.blocklist import url_blocklist_filter
+        if args.blocklist is None:
+            bl = spark.createDataFrame([], "host string")
+        elif args.blocklist.endswith(".txt"):
+            with open(args.blocklist) as fh:
+                hosts = sorted({ln.strip() for ln in fh if ln.strip()})
+            bl = spark.createDataFrame([(h,) for h in hosts], "host string")
+        else:
+            bl = spark.read.parquet(args.blocklist).select("host")
+        patterns = ([p for p in args.block_url_patterns.split(",") if p]
+                    if args.block_url_patterns else [])
+        tags = store.run("s01b_block_reasons", lambda: url_blocklist_filter(
+            cur, bl, path_patterns=patterns, url_col="url", id_col="url"))
+        block_reasons = {r["reason"]: int(r["n"]) for r in
+                         tags.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+                         .collect()}
+        cur = store.run("s01c_blocklisted", lambda: cur.join(
+            tags.filter("keep").select("url"), "url", "left_semi"))
+
     cur = store.run("s02_url_canonical", lambda: url_canonical(cur))
     cur = store.run("s03_exact_dedup",
                     lambda: exact_dedup(cur, id_col="url").drop("digest"))
     cur = store.run("s04_redacted", lambda: cur.select(
         "url", "warc_ts", "lang", redact_pii("text").alias("text"),
         (email_count("text") + ipv4_count("text")).alias("pii_hits")))
+
+    # boilerplate MUST precede line_dedup: the keep-first line dedup
+    # collapses every cross-doc repeated line to one global occurrence,
+    # so a df threshold computed after it can never fire — the df is
+    # only meaningful on the original corpus line frequencies
+    if args.boilerplate_min_df:
+        from doppel_spark.operators.lines import boilerplate_line_filter
+
+        def boiled(df: DataFrame) -> DataFrame:
+            bp = boilerplate_line_filter(df, min_df=args.boilerplate_min_df,
+                                         id_col="url")
+            return (df.select("url", "warc_ts", "lang", "pii_hits")
+                    .join(bp.select("url", "text_clean"), "url")
+                    .withColumnRenamed("text_clean", "text"))
+        cur = store.run("s04b_boilerplate", lambda: boiled(cur))
 
     if not args.skip_line_dedup:
         def lined(df: DataFrame) -> DataFrame:
@@ -242,6 +307,7 @@ def main(argv: list[str] | None = None) -> dict:
         "stages": [{k: m[k] for k in ("stage", "rows", "duration_s")}
                    for m in store.metrics()],
         "quality_reasons": reasons,
+        "block_reasons": block_reasons,
         "split_counts": split_counts,
         "train_docs": int(train_docs or 0),
         "train_tokens": int(train_tokens or 0),

@@ -132,6 +132,71 @@ def test_verify_extraction_strict_mode_fails_job(spark, tmp_path):
                "--verify-extraction", "strict"])
 
 
+def _warc_fixture(tmp_path):
+    """40 crawled pages across one plain + one gzipped archive; every
+    10th page lives on a subdomain of the blocklisted host, pages *7
+    match the URL block pattern, and one nav line repeats in >= 6 docs
+    so the boilerplate cut has something to bite."""
+    import gzip
+    import random
+
+    from doppel_spark.sources.warc import warc_file_bytes
+
+    rng = random.Random(7)
+    words = ("the of and to in a is that it was for on are as with his "
+             "they at be this from have or had by word but not what all "
+             "were when your can said").split()
+    recs = []
+    for i in range(40):
+        host = "blog.blocked.test" if i % 10 == 0 else f"s{i % 3}.example.net"
+        lines = [" ".join(rng.choice(words) for _ in range(12))
+                 for _ in range(8)]
+        lines.insert(0, "home about contact subscribe newsletter")
+        body = ("<body>" + "\n".join(lines) + "</body>").encode()
+        recs.append((f"https://{host}/p/{i}",
+                     f"2020-01-01T00:00:{i % 60:02d}Z", body))
+    root = tmp_path / "warc"
+    root.mkdir()
+    (root / "seg0.warc").write_bytes(warc_file_bytes(recs[:20]))
+    (root / "seg1.warc.gz").write_bytes(
+        gzip.compress(warc_file_bytes(recs[20:])))
+    return str(root)
+
+
+def test_warc_input_blocklist_and_boilerplate(spark, tmp_path):
+    """The full crawl-to-cut path: raw WARC archives -> stream parse ->
+    extract -> lang-ID -> blocklist (host + URL pattern, host takes
+    precedence) -> df-threshold boilerplate cut -> the rest of the
+    funnel."""
+    warc_root = _warc_fixture(tmp_path)
+    bl = tmp_path / "bl.txt"
+    bl.write_text("blocked.test\n")
+    rep = _main(["--warc-input", warc_root,
+                 "--output", str(tmp_path / "out4"),
+                 "--checkpoint", str(tmp_path / "ckpt4"),
+                 "--blocklist", str(bl),
+                 "--block-url-patterns", r"/p/\d*7$",
+                 "--boilerplate-min-df", "6",
+                 "--shards", "2", "--skip-quality"])
+    # 4 docs on *.blocked.test (host rule), 4 match /p/*7 — but p/7,17,
+    # 27,37 are never on the blocked host (those are multiples of 10),
+    # so both reasons are fully visible
+    assert rep["block_reasons"]["blocked_host"] == 4
+    assert rep["block_reasons"]["blocked_path"] == 4
+    assert rep["block_reasons"]["ok"] == 32
+    stages = {s["stage"]: s["rows"] for s in rep["stages"]}
+    assert stages["s01_filtered"] == 40
+    assert stages["s01c_blocklisted"] == 32
+    assert stages["s04b_boilerplate"] == 32
+    assert rep["train_docs"] + rep["split_counts"].get("val", 0) + \
+        rep["split_counts"].get("test", 0) == 32
+    # the planted nav line is gone from every surviving doc (the df cut
+    # removes ALL occurrences, unlike line_dedup's keep-first)
+    final = spark.read.parquet(str(tmp_path / "out4" / "train_shards"))
+    assert final.filter(
+        final.text.contains("home about contact")).count() == 0
+
+
 def test_verify_extraction_off_keeps_old_report_shape(spark, tmp_path):
     path = _pages_with_bad_row(spark, tmp_path)
     rep = _main(["--input", path,
