@@ -34,7 +34,8 @@ of corpus rows happens at all (the hit set re-joins on id, broadcast
 under AQE because block hits are a sliver of the corpus). Real-world
 blocklists (UT1 adult ≈ 4M hosts ≈ 100 MB) fit Spark's broadcast
 ceiling with room; :data:`MAX_BLOCKLIST_HOSTS` guards the collect-free
-explicit broadcast anyway.
+explicit broadcast anyway via an in-plan ``assert_true`` count gate
+(a config error fails loudly instead of attempting a bigger broadcast).
 
 Reference tie: the reference's name/path exclusion filters
 (/root/reference/internal/filter/filter.go:147-204) are this same
@@ -106,6 +107,22 @@ def url_blocklist_filter(
                     F.size(F.split(F.col("_bh"), r"\.")) >= F.lit(2),
                     F.concat(F.lit("blocklist entry is a bare TLD: "),
                              F.col("_bh"))).isNull(),
+                F.col("_bh")).alias("_bh"))
+    )
+    # in-plan size ceiling on the broadcast side: a blocklist past
+    # MAX_BLOCKLIST_HOSTS is a config error, not a bigger broadcast.
+    # The assert must live in the projection of the USED column (_bh) —
+    # an assert on a column of its own gets column-pruned away
+    # (assert_true is deterministic, so Catalyst drops unused outputs)
+    size_gate = bl.agg(F.count(F.lit(1)).alias("_n"))
+    bl = (
+        bl.join(F.broadcast(size_gate), F.lit(True))
+        .select(
+            F.when(
+                F.assert_true(
+                    F.col("_n") <= F.lit(MAX_BLOCKLIST_HOSTS),
+                    F.concat(F.lit("blocklist exceeds MAX_BLOCKLIST_HOSTS: "),
+                             F.col("_n").cast("string"))).isNull(),
                 F.col("_bh")).alias("_bh"))
     )
 

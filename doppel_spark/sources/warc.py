@@ -255,6 +255,13 @@ def _open_stream(path: str) -> IO[bytes]:
     return open(path, "rb")  # noqa: SIM115 — closed by the caller
 
 
+#: flush thresholds for the parse stage's output batches — the row
+#: collector must be as memory-bounded as the record parser, so parsed
+#: rows stream out every FLUSH_ROWS records or FLUSH_BYTES of payload,
+#: whichever comes first (an Arrow batch of ~64 MiB, never a whole shard)
+FLUSH_ROWS = 256
+FLUSH_BYTES = 64 << 20
+
 #: output schema of the parse stage (error_reason null on clean rows)
 WARC_ROWS_SCHEMA = ("url string, warc_date string, warc_ts timestamp, "
                     "html binary, src string, error_reason string")
@@ -301,7 +308,11 @@ def read_warc(
         cols = ["url", "warc_date", "warc_ts", "html", "src", "error_reason"]
         for pdf in batches:
             for src in pdf["src"].tolist():
+                # rows flush every FLUSH_BYTES of payload (or FLUSH_ROWS)
+                # so the collector is as bounded as the parser: a 5 GB
+                # shard never accumulates as one Python list of blobs
                 rows: list[tuple] = []
+                pending = 0
                 try:
                     with _open_stream(src) as stream:
                         for rec in iter_warc_records(stream, chunk_size):
@@ -310,12 +321,18 @@ def read_warc(
                             ts = datetime.strptime(
                                 rec["warc_date"], WARC_DATE_FMT
                             ).replace(tzinfo=timezone.utc)
+                            body = http_body(rec["payload"])
                             rows.append((rec["url"], rec["warc_date"], ts,
-                                         http_body(rec["payload"]), src, None))
+                                         body, src, None))
+                            pending += len(body)
+                            if len(rows) >= FLUSH_ROWS or pending >= FLUSH_BYTES:
+                                yield pd.DataFrame(rows, columns=cols)
+                                rows, pending = [], 0
                 except (WarcFormatError, OSError, ValueError) as exc:
                     rows.append((None, None, None, None, src,
                                  f"{type(exc).__name__}: {exc}"))
-                yield pd.DataFrame(rows, columns=cols)
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     listing = spark.createDataFrame(
         [(f,) for f in files], "src string").repartition(parts)

@@ -91,3 +91,20 @@ def test_blocklist_plan_is_broadcast_and_udf_free(spark):
     assert_no_row_python(df)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_blocklist_size_ceiling_gate_survives_pruning(spark, monkeypatch):
+    """The MAX_BLOCKLIST_HOSTS ceiling is an in-plan assert folded into
+    the projection of the USED column — a standalone assert column gets
+    column-pruned by Catalyst (assert_true is deterministic), which is
+    exactly the regression this pins."""
+    import doppel_spark.operators.blocklist as B
+
+    monkeypatch.setattr(B, "MAX_BLOCKLIST_HOSTS", 1)
+    # at the ceiling: passes
+    out = {r["doc_id"]: r["reason"] for r in B.url_blocklist_filter(
+        _pages(spark), _bl(spark)).collect()}
+    assert out[2] == "blocked_host"
+    monkeypatch.setattr(B, "MAX_BLOCKLIST_HOSTS", 0)
+    with pytest.raises(Exception, match="MAX_BLOCKLIST_HOSTS"):
+        B.url_blocklist_filter(_pages(spark), _bl(spark)).collect()
