@@ -19,9 +19,9 @@ a time (`training_cut_funnel`, `url_canonical_dups`, `gopher_filter`,
 order — each stage only ever sees the previous stage's survivors:
 
     (extraction byte-identity gate, optional)
-    → filter → blocklist → URL-canonical dedup → exact dedup
-    → PII redaction → df-threshold boilerplate cut → corpus line dedup
-    → Gopher quality filter → decontamination
+    → filter → blocklist → low-host-rank domain cut → URL-canonical
+    dedup → exact dedup → PII redaction → df-threshold boilerplate cut
+    → corpus line dedup → Gopher quality filter → decontamination
     → per-host cap → hash splits → train token-budget cut
     → hash-ordered training shards (+ val/test parquet)
 
@@ -87,6 +87,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--boilerplate-min-df", type=int, default=0,
                    help="remove every line appearing in >= N distinct docs "
                         "(0 disables the document-frequency boilerplate cut)")
+    p.add_argument("--min-host-rank-micros", type=int, default=0,
+                   help="drop docs whose host's link-graph PageRank "
+                        "(integer micro-units of a total mass of 10^6 over "
+                        "all linked hosts) falls below N; hosts absent from "
+                        "the link graph are kept — no link evidence is not "
+                        "spam evidence (0 disables; needs an html column)")
+    p.add_argument("--host-rank-iterations", type=int, default=5)
     p.add_argument("--max-per-host", type=int, default=0,
                    help="0 disables the per-host cap")
     p.add_argument("--token-budget", type=int, default=0,
@@ -171,8 +178,13 @@ def main(argv: list[str] | None = None) -> dict:
             extract_mismatches = bad.count()
             pages = ok.drop("extracted")
 
-    # past the gate the funnel never needs html — drop it before the
-    # first materialize
+    # past the gate the funnel only needs html for the (optional)
+    # link-graph domain rank — keep a pre-drop handle for that stage,
+    # then drop it before the first materialize
+    if args.min_host_rank_micros and "html" not in pages.columns:
+        raise SystemExit("--min-host-rank-micros needs an html column "
+                         "(outlinks are extracted from it)")
+    pages_with_html = pages if args.min_host_rank_micros else None
     pages = pages.select("url", "warc_ts", "text", "lang")
 
     cfg = load_job_config(config_dir=args.config_dir, cli={
@@ -187,7 +199,8 @@ def main(argv: list[str] | None = None) -> dict:
                args.max_per_host, args.token_budget, args.shards,
                args.skip_line_dedup, args.skip_quality,
                args.verify_extraction, args.blocklist,
-               args.block_url_patterns, args.boilerplate_min_df)
+               args.block_url_patterns, args.boilerplate_min_df,
+               args.min_host_rank_micros, args.host_rank_iterations)
     store = CheckpointStore(spark, args.checkpoint, run_config=run_cfg)
     t0 = time.time()
 
@@ -224,6 +237,31 @@ def main(argv: list[str] | None = None) -> dict:
                          .collect()}
         cur = store.run("s01c_blocklisted", lambda: cur.join(
             tags.filter("keep").select("url"), "url", "left_semi"))
+
+    low_rank_hosts = 0
+    if args.min_host_rank_micros:
+        # domain-quality cut: PageRank over the FULL crawl's host link
+        # graph (pre-funnel — the graph is crawl evidence, not survivor
+        # evidence), then an anti-join against the small low-rank host
+        # set. Hosts absent from the graph are kept: no link evidence
+        # is not spam evidence. Still a url-only cut — text never moves.
+        from doppel_spark.functions.links import host_edges
+        from doppel_spark.functions.urls import host_of
+        from doppel_spark.operators.graph import host_rank
+
+        def low_hosts() -> DataFrame:
+            ranks = host_rank(host_edges(pages_with_html), weight="w",
+                              iterations=args.host_rank_iterations)
+            return (ranks
+                    .filter(F.col("rank_micros")
+                            < args.min_host_rank_micros)
+                    .select("host"))
+
+        low = store.run("s01d_low_rank_hosts", low_hosts)
+        low_rank_hosts = low.count()
+        cur = store.run("s01e_host_ranked", lambda: cur.join(
+            F.broadcast(low), host_of(F.col("url")) == F.col("host"),
+            "left_anti"))
 
     cur = store.run("s02_url_canonical", lambda: url_canonical(cur))
     cur = store.run("s03_exact_dedup",
@@ -308,6 +346,7 @@ def main(argv: list[str] | None = None) -> dict:
                    for m in store.metrics()],
         "quality_reasons": reasons,
         "block_reasons": block_reasons,
+        "low_rank_hosts": low_rank_hosts,
         "split_counts": split_counts,
         "train_docs": int(train_docs or 0),
         "train_tokens": int(train_tokens or 0),

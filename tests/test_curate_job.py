@@ -205,3 +205,55 @@ def test_verify_extraction_off_keeps_old_report_shape(spark, tmp_path):
                  "--shards", "2", "--skip-quality"])
     assert "extract_mismatches" not in rep
     assert rep["stages"][0]["rows"] == 5
+
+
+def test_host_rank_domain_cut(spark, tmp_path):
+    """--min-host-rank-micros drops every doc of a link-farm host (out-
+    links only, zero in-links → rank pinned at the teleport floor) while
+    keeping well-linked hosts AND hosts absent from the link graph (no
+    link evidence is not spam evidence)."""
+    import random
+    from datetime import datetime, timezone
+
+    rng = random.Random(23)
+    words = ("orchard river granite meadow copper lantern harbor velvet "
+             "thistle ember spruce marble falcon cinder willow quartz").split()
+    ts = datetime(2021, 5, 1, tzinfo=timezone.utc)
+
+    def html_for(text, link_hosts):
+        anchors = "".join(f'<a href="https://{h}/">x</a>' for h in link_hosts)
+        return (f"<html><body>{text}{anchors}</body></html>").encode()
+
+    goods = [f"good{i}.example.net" for i in range(6)]
+    rows = []
+    for i, h in enumerate(goods):
+        for p in range(2):
+            text = f"{h} {p} " + " ".join(rng.choice(words) for _ in range(30))
+            links = [goods[(i + 1) % 6], goods[(i + 2) % 6]]
+            rows.append((f"https://{h}/p{p}", ts, text, "en",
+                         html_for(text, links)))
+    for p in range(3):  # the farm: links out to everyone, receives none
+        text = f"farm {p} " + " ".join(rng.choice(words) for _ in range(30))
+        rows.append((f"https://farm.spam.example/f{p}", ts, text, "en",
+                     html_for(text, goods)))
+    solo_text = "solo " + " ".join(rng.choice(words) for _ in range(30))
+    rows.append(("https://island.example.org/solo", ts, solo_text, "en",
+                 html_for(solo_text, [])))  # graph-absent → must survive
+
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string, "
+              "html binary").write.parquet(src)
+    rep = _main(["--input", src,
+                 "--output", str(tmp_path / "out5"),
+                 "--checkpoint", str(tmp_path / "ckpt5"),
+                 "--min-host-rank-micros", "50000",
+                 "--shards", "1", "--skip-quality"])
+    assert rep["low_rank_hosts"] == 1
+    stages = {s["stage"]: s["rows"] for s in rep["stages"]}
+    assert stages["s01_filtered"] == 16
+    assert stages["s01e_host_ranked"] == 13  # 16 − 3 farm docs
+    final = spark.read.parquet(str(tmp_path / "out5" / "train_shards"))
+    urls = [r["url"] for r in final.select("url").collect()]
+    assert not any("farm.spam.example" in u for u in urls)
+    assert any("island.example.org" in u for u in urls)
