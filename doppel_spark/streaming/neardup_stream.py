@@ -116,7 +116,14 @@ def _pair_emitter(num_perm: int, min_agree: int, state_cap: int, ttl_ms: int):
         out_n: list[int] = []
 
         def emit(other_idx: int, url: str, agree: int) -> None:
-            a, b = sorted((ids[other_idx], url))
+            other = ids[other_idx]
+            if other == url:
+                # a refetch of the same url is an exact-dup event for
+                # the digest tier, not a near-dup PAIR — the batch tier
+                # can never produce (u, u) (strict url_a < url_b,
+                # lsh.py:180) and neither may the stream
+                return
+            a, b = sorted((other, url))
             out_a.append(a)
             out_b.append(b)
             out_n.append(agree)

@@ -100,3 +100,21 @@ def test_pair_order_canonical(spark):
         assert out.filter(F.col("url_a") >= F.col("url_b")).count() == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_refetch_of_same_url_never_self_pairs(spark):
+    """The same url arriving twice (a refetch) shares every band with
+    itself — but (u, u) is not a pair: the batch tier's strict
+    url_a < url_b can never produce it, and neither may the stream."""
+    rows = _planted_rows(1, 0)  # one group: mh:00:2 / :3 / :4
+    refetch = [rows[0]]  # mh:00:2 arrives again in a later batch
+    tmp = tempfile.mkdtemp(prefix="doppel_ndp_")
+    try:
+        got = _run_stream(spark, [rows, refetch], tmp)
+        pairs = {(r["url_a"], r["url_b"]) for r in got.collect()}
+        assert all(a != b for a, b in pairs)
+        # the true in-group pairs are still all there
+        assert pairs == {("mh:00:2", "mh:00:3"), ("mh:00:2", "mh:00:4"),
+                         ("mh:00:3", "mh:00:4")}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
