@@ -78,6 +78,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="eval-set parquet (needs a `text` column); enables "
                         "exact n-gram decontamination (repeatable)")
     p.add_argument("--decontaminate-ngram", type=int, default=13)
+    p.add_argument("--fuzzy-decontaminate", action="store_true",
+                   help="after the exact n-gram cut, also drop near-"
+                        "duplicates of eval docs (MinHash tier — catches "
+                        "paraphrase-level leakage the exact grams miss)")
     p.add_argument("--blocklist", default=None,
                    help="host blocklist (subdomain-closed): a .txt file of "
                         "one registrable host per line, or a parquet with a "
@@ -200,7 +204,8 @@ def main(argv: list[str] | None = None) -> dict:
                args.skip_line_dedup, args.skip_quality,
                args.verify_extraction, args.blocklist,
                args.block_url_patterns, args.boilerplate_min_df,
-               args.min_host_rank_micros, args.host_rank_iterations)
+               args.min_host_rank_micros, args.host_rank_iterations,
+               args.fuzzy_decontaminate)
     store = CheckpointStore(spark, args.checkpoint, run_config=run_cfg)
     t0 = time.time()
 
@@ -310,6 +315,20 @@ def main(argv: list[str] | None = None) -> dict:
             return decontaminate(df, eval_df, n=args.decontaminate_ngram,
                                  id_col="url")
         cur = store.run("s08_decontaminated", lambda: decontaminated(cur))
+
+        if args.fuzzy_decontaminate:
+            # the MinHash tier of the same hygiene step: one changed
+            # token in a paraphrased leak breaks every covering 13-gram
+            # (the exact stage above misses it) but barely moves the
+            # shingle-set Jaccard — near-dups of eval docs go too
+            def fuzzy(df: DataFrame) -> DataFrame:
+                from doppel_spark.operators.contamination import (
+                    fuzzy_decontaminate)
+                eval_df = (spark.read.parquet(*args.eval)
+                           .withColumn("eval_id",
+                                       F.monotonically_increasing_id()))
+                return fuzzy_decontaminate(df, eval_df, id_col="url")
+            cur = store.run("s08b_fuzzy_decontaminated", lambda: fuzzy(cur))
 
     if args.max_per_host:
         cur = store.run("s09_host_capped",

@@ -257,3 +257,44 @@ def test_host_rank_domain_cut(spark, tmp_path):
     urls = [r["url"] for r in final.select("url").collect()]
     assert not any("farm.spam.example" in u for u in urls)
     assert any("island.example.org" in u for u in urls)
+
+
+def test_fuzzy_decontaminate_catches_short_eval_leak(spark, tmp_path):
+    """A leaked eval item SHORTER than the n-gram window (12 tokens vs
+    n=13) yields zero 13-grams — the exact decontamination stage is
+    blind to it by construction. --fuzzy-decontaminate (the MinHash
+    tier) must drop it; identical shingle sets pin jaccard_est = 1."""
+    import hashlib
+    import random
+    from datetime import datetime, timezone
+
+    rng = random.Random(31)
+    words = ("amber basalt cedar dunes ember fjord grove heath inlet "
+             "juniper knoll lagoon mesa nectar oasis prairie").split()
+    ts = datetime(2022, 1, 1, tzinfo=timezone.utc)
+    stem = hashlib.md5(b"leak").hexdigest()
+    leak_text = " ".join(f"{stem}t{i}" for i in range(12))  # 12 tokens
+
+    rows = [(f"https://ok.net/d{i}", ts,
+             f"doc {i} " + " ".join(rng.choice(words) for _ in range(30)),
+             "en") for i in range(8)]
+    rows.append(("https://ok.net/leak", ts, leak_text, "en"))
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string"
+    ).write.parquet(src)
+
+    ev = str(tmp_path / "eval")
+    spark.createDataFrame([(leak_text,)], "text string").write.parquet(ev)
+
+    rep = _main(["--input", src,
+                 "--output", str(tmp_path / "out6"),
+                 "--checkpoint", str(tmp_path / "ckpt6"),
+                 "--eval", ev, "--fuzzy-decontaminate",
+                 "--shards", "1", "--skip-quality", "--skip-line-dedup"])
+    stages = {s["stage"]: s["rows"] for s in rep["stages"]}
+    assert stages["s08_decontaminated"] == 9   # exact tier: blind
+    assert stages["s08b_fuzzy_decontaminated"] == 8  # fuzzy tier: caught
+    final = spark.read.parquet(str(tmp_path / "out6" / "train_shards"))
+    urls = [r["url"] for r in final.select("url").collect()]
+    assert "https://ok.net/leak" not in urls
