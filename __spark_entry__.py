@@ -1831,6 +1831,50 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_nfc_normalized_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/normalize.py), value-gated.
+
+    The testdata is ASCII, where normalization is the identity — so
+    every 7th doc gets a DECOMPOSED suffix planted (" e" + U+0301, the
+    combining acute) that NFC must compose to U+00E9. The Spark side is
+    the Arrow-batched ``unicode_normalize`` pandas_udf; the oracle is
+    DuckDB's native ``nfc_normalize`` over the same construction — two
+    independent Unicode implementations agreeing on the composed VALUE,
+    plus a length column so an unnormalized pass-through (len one too
+    long on planted rows) can't hash-match."""
+    from doppel_spark.functions.normalize import unicode_normalize
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    planted = F.when(F.col("doc_id") % 7 == 0,
+                     F.concat(F.col("text"), F.lit(" e\u0301"))) \
+        .otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        unicode_normalize(planted).alias("text_nfc"),
+    ).withColumn("n_chars_nfc", F.length("text_nfc").cast("long"))
+
+
+def _q_control_stripped_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Control-char strip (functions/normalize.py), value-gated.
+
+    Every 5th doc gets a planted suffix mixing strippable controls
+    (BEL, DEL) with KEPT structure whitespace (a tab): ``\\x07 x \\t y
+    \\x7f`` must clean to ``x \\t y``. Pure Catalyst regexp_replace;
+    the oracle reuses the RE2-subset class literally."""
+    from doppel_spark.functions.normalize import strip_control_chars
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    planted = F.when(F.col("doc_id") % 5 == 0,
+                     F.concat(F.col("text"), F.lit("\x07x\ty\x7f"))) \
+        .otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        strip_control_chars(planted).alias("text_clean"),
+        (F.length(planted) - F.length(strip_control_chars(planted)))
+        .cast("long").alias("n_stripped"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_members": _q_exact_dup_members,
@@ -1878,6 +1922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_planted": _q_simhash_pairs_planted,
         "neardup_skew_stats": _q_neardup_skew_stats,
         "checkpoint_resume": _q_checkpoint_resume,
+        "nfc_normalized_planted": _q_nfc_normalized_planted,
+        "control_stripped_planted": _q_control_stripped_planted,
         "line_dedup_docs": _q_line_dedup_docs,
         "line_dedup_within": _q_line_dedup_within,
         "boilerplate_lines": _q_boilerplate_lines,
@@ -2774,6 +2820,43 @@ def oracle_sql() -> dict[str, str]:
                    printf('sh:%02d:b', rk) AS url_b,
                    CAST(0 AS BIGINT) AS hamming
             FROM sel
+        """,
+        # DuckDB's NATIVE nfc_normalize vs Spark's unicodedata pandas
+        # udf over the same planted decomposed suffix (chr(769) is the
+        # combining acute U+0301) — two independent Unicode
+        # implementations must agree on the composed values
+        "nfc_normalized_planted": """
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' e' || chr(769)
+                          ELSE text END AS t
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id, nfc_normalize(t) AS text_nfc,
+                   CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc
+            FROM p
+        """,
+        # the RE2-subset control class reused literally (DuckDB's
+        # default strings don't process backslash escapes, so the \\x
+        # sequences below reach RE2 verbatim)
+        "control_stripped_planted": """
+            WITH p AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || chr(7) || 'x' || chr(9) || 'y'
+                               || chr(127)
+                          ELSE text END AS t
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT doc_id,
+                   regexp_replace(t,
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g')
+                     AS text_clean,
+                   CAST(length(t) - length(regexp_replace(t,
+                     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'))
+                     AS BIGINT) AS n_stripped
+            FROM p
         """,
         "line_dedup_docs": f"""
             WITH {_LINE_DOCS_SQL},
