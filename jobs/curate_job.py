@@ -91,6 +91,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--boilerplate-min-df", type=int, default=0,
                    help="remove every line appearing in >= N distinct docs "
                         "(0 disables the document-frequency boilerplate cut)")
+    p.add_argument("--normalize", choices=["off", "nfc", "nfkc"],
+                   default="off",
+                   help="Unicode-normalize text (and strip C0 controls) "
+                        "right after the extraction gate, BEFORE any "
+                        "digest/shingle tier — byte-different encodings "
+                        "of identical meaning otherwise split dup groups")
     p.add_argument("--min-host-rank-micros", type=int, default=0,
                    help="drop docs whose host's link-graph PageRank "
                         "(integer micro-units of a total mass of 10^6 over "
@@ -191,6 +197,18 @@ def main(argv: list[str] | None = None) -> dict:
     pages_with_html = pages if args.min_host_rank_micros else None
     pages = pages.select("url", "warc_ts", "text", "lang")
 
+    if args.normalize != "off":
+        # normalize BEFORE any digest/shingle tier sees the text: the
+        # stored text becomes the normalized form (the byte-identity
+        # gate above checked extraction FIDELITY; this is a declared
+        # transform after it — functions/normalize.py ordering note)
+        from doppel_spark.functions.normalize import (
+            strip_control_chars, unicode_normalize)
+        pages = pages.withColumn(
+            "text",
+            unicode_normalize(strip_control_chars("text"),
+                              form=args.normalize.upper()))
+
     cfg = load_job_config(config_dir=args.config_dir, cli={
         "filter": {k: v for k, v in {
             "min_size": args.min_size, "max_size": args.max_size,
@@ -205,7 +223,7 @@ def main(argv: list[str] | None = None) -> dict:
                args.verify_extraction, args.blocklist,
                args.block_url_patterns, args.boilerplate_min_df,
                args.min_host_rank_micros, args.host_rank_iterations,
-               args.fuzzy_decontaminate)
+               args.fuzzy_decontaminate, args.normalize)
     store = CheckpointStore(spark, args.checkpoint, run_config=run_cfg)
     t0 = time.time()
 

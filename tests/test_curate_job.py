@@ -298,3 +298,44 @@ def test_fuzzy_decontaminate_catches_short_eval_leak(spark, tmp_path):
     final = spark.read.parquet(str(tmp_path / "out6" / "train_shards"))
     urls = [r["url"] for r in final.select("url").collect()]
     assert "https://ok.net/leak" not in urls
+
+
+def test_normalize_nfc_merges_encoding_variant_dups(spark, tmp_path):
+    """Two crawls of the same page differing only in Unicode encoding
+    (composed vs decomposed accents, plus a stray BEL) are distinct
+    bytes -- without --normalize both survive exact dedup; with
+    --normalize nfc they collapse to one doc."""
+    import random
+    from datetime import datetime, timezone
+
+    rng = random.Random(41)
+    words = ("delta echo foxtrot golf hotel india juliett kilo lima "
+             "mike november oscar papa quebec romeo sierra").split()
+    ts = datetime(2022, 3, 1, tzinfo=timezone.utc)
+    base = "caf\u00e9 r\u00e9sum\u00e9 " + " ".join(
+        rng.choice(words) for _ in range(30))
+    variant = (base.replace("\u00e9", "e\u0301") + "\x07")
+
+    rows = [("https://a.net/one", ts, base, "en"),
+            ("https://b.net/two", ts, variant, "en")]
+    rows += [(f"https://c.net/d{i}", ts,
+              f"doc {i} " + " ".join(rng.choice(words) for _ in range(30)),
+              "en") for i in range(4)]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string"
+    ).write.parquet(src)
+
+    rep_off = _main(["--input", src,
+                     "--output", str(tmp_path / "o_off"),
+                     "--checkpoint", str(tmp_path / "c_off"),
+                     "--shards", "1", "--skip-quality"])
+    rep_nfc = _main(["--input", src,
+                     "--output", str(tmp_path / "o_nfc"),
+                     "--checkpoint", str(tmp_path / "c_nfc"),
+                     "--normalize", "nfc",
+                     "--shards", "1", "--skip-quality"])
+    off = {s["stage"]: s["rows"] for s in rep_off["stages"]}
+    nfc = {s["stage"]: s["rows"] for s in rep_nfc["stages"]}
+    assert off["s03_exact_dedup"] == 6   # byte-different: both kept
+    assert nfc["s03_exact_dedup"] == 5   # normalized: variant collapsed
