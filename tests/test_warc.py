@@ -153,3 +153,43 @@ def test_read_warc_plan_has_no_row_python(spark, tmp_path):
     _write_archives(tmp_path)
     src = read_warc(spark, str(tmp_path))
     assert_no_row_python(src.pages)  # MapInPandas only, never BatchEvalPython
+
+
+# --- property-based round-trip (hypothesis) ---------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+    _urls = st.text(
+        alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+        min_size=1, max_size=40).map(lambda s: "https://h.test/" + s)
+    # payloads deliberately include framing magic, CRLFs, NULs — the
+    # length-delimited parser must never care
+    _bodies = st.binary(min_size=0, max_size=2048) | st.sampled_from([
+        b"WARC/1.0\r\nContent-Length: 0\r\n\r\n",
+        b"\r\n\r\n\r\n", b"\x00" * 512])
+    _recs = st.lists(
+        st.tuples(_urls, st.just("2020-06-01T00:00:00Z"), _bodies),
+        min_size=0, max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(recs=_recs, chunk=st.sampled_from([7, 64, 1 << 20]))
+    def test_roundtrip_property(recs, chunk):
+        """serialize → parse at adversarial chunk sizes recovers every
+        response record's (url, date, body) byte-exactly, in order."""
+        import io
+
+        blob = warc_file_bytes(recs)
+        got = [r for r in iter_warc_records(io.BytesIO(blob), chunk)
+               if r["rec_type"] == "response"]
+        assert len(got) == len(recs)
+        for (url, date, body), r in zip(recs, got):
+            assert r["url"] == url
+            assert r["warc_date"] == date
+            assert http_body(r["payload"]) == body
