@@ -1831,6 +1831,35 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (operators/compact.py), value-gated.
+
+    The documents digest projection is deliberately written FRAGMENTED
+    (64 files for 500 rows — the accreted-appends pathology), compacted
+    to the target layout, and read back; the query raises in-plan
+    machinery aside if the rewrite didn't happen (rewritten/file-count
+    asserted) and returns the compacted VALUES, which must hash-match
+    the DuckDB read of the same projection — compaction is layout, not
+    content. Production analogue: Iceberg ``rewrite_data_files``."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from doppel_spark.operators.compact import compact_parquet_dir
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    frame = docs.select("doc_id", F.sha2("text", 256).alias("digest"))
+    root = tempfile.mkdtemp(prefix="doppel_compact_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = f"{root}/digests"
+    frame.repartition(64).write.parquet(path)
+    stats = compact_parquet_dir(spark, path, target_bytes=1 << 30)
+    if not (stats["rewritten"] and stats["files_after"] < 8
+            <= stats["files_before"]):
+        raise AssertionError(f"compaction did not rewrite: {stats}")
+    return spark.read.parquet(path)
+
+
 def _q_nfc_normalized_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization (functions/normalize.py), value-gated.
 
@@ -1922,6 +1951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_planted": _q_simhash_pairs_planted,
         "neardup_skew_stats": _q_neardup_skew_stats,
         "checkpoint_resume": _q_checkpoint_resume,
+        "compaction_roundtrip": _q_compaction_roundtrip,
         "nfc_normalized_planted": _q_nfc_normalized_planted,
         "control_stripped_planted": _q_control_stripped_planted,
         "line_dedup_docs": _q_line_dedup_docs,
@@ -2820,6 +2850,12 @@ def oracle_sql() -> dict[str, str]:
                    printf('sh:%02d:b', rk) AS url_b,
                    CAST(0 AS BIGINT) AS hamming
             FROM sel
+        """,
+        # compaction is layout, not content: the compacted table's
+        # values must equal the straight projection
+        "compaction_roundtrip": """
+            SELECT doc_id, sha256(text) AS digest
+            FROM documents WHERE text IS NOT NULL
         """,
         # DuckDB's NATIVE nfc_normalize vs Spark's unicodedata pandas
         # udf over the same planted decomposed suffix (chr(769) is the
