@@ -161,6 +161,10 @@ HOT_CAP = 32
 #: signals) — both plants are non-vacuous at every SF
 LINE_WRAP = 8
 BOILER_LINE = "subscribe now click here to continue reading"
+#: shared TWO-LINE paragraph appended to every 3rd doc in the paragraph
+#: contract — the internal single newline is the point: it must stay
+#: INSIDE the unit (paragraph mode) where line mode would split it
+PARA_BLOCK = "verify your email\nto keep reading this article"
 #: document-frequency threshold for the boilerplate_lines contract —
 #: the planted BOILER_LINE sits in every 5th doc (df ≫ 3 at every SF),
 #: so the cut is non-vacuous AND must remove the first occurrence
@@ -1831,6 +1835,28 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity corpus dedup (operators/lines.py:
+    paragraph_dedup — the CCNet unit), value-gated.
+
+    Construction: the line-structured corpus with every line promoted
+    to its own paragraph (``\\n`` → ``\\n\\n``), PLUS a shared TWO-LINE
+    paragraph (internal single newline) appended to every 3rd doc —
+    non-vacuous both ways: the cross-doc single-line dups still dedup,
+    and the two-line block dedups as ONE unit, which line mode could
+    not express. The oracle groups by the paragraph TEXT itself, so
+    the Spark side's xxhash64 unit key is collision-checked."""
+    from doppel_spark.operators.lines import paragraph_dedup
+
+    ld = _line_docs(spark, sf_dir)
+    text = F.concat(
+        F.regexp_replace(F.col("text"), "\n", "\n\n"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("\n\n"), F.lit(PARA_BLOCK)))
+        .otherwise(F.lit("")))
+    return paragraph_dedup(ld.select("doc_id", text.alias("text")))
+
+
 def _q_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (operators/compact.py), value-gated.
 
@@ -1955,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalized_planted": _q_nfc_normalized_planted,
         "control_stripped_planted": _q_control_stripped_planted,
         "line_dedup_docs": _q_line_dedup_docs,
+        "paragraph_dedup_docs": _q_paragraph_dedup_docs,
         "line_dedup_within": _q_line_dedup_within,
         "boilerplate_lines": _q_boilerplate_lines,
         "url_blocklist": _q_url_blocklist,
@@ -2898,6 +2925,49 @@ def oracle_sql() -> dict[str, str]:
             WITH {_LINE_DOCS_SQL},
             {_line_dedup_chain_sql('line_docs')}
             {_LINE_DEDUP_FINAL_SQL}
+        """,
+        # paragraph mode: the same keep-first chain over units split on
+        # \n{{2,}} (single newlines stay inside their unit), grouped by
+        # the paragraph TEXT itself; PARA_BLOCK's internal newline is
+        # the semantics line mode could not express
+        "paragraph_dedup_docs": f"""
+            WITH {_LINE_DOCS_SQL},
+            para_docs AS (
+              SELECT doc_id,
+                     replace(text, chr(10), chr(10) || chr(10))
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || chr(10)
+                                  || '{PARA_BLOCK.replace(chr(10), "' || chr(10) || '")}'
+                             ELSE '' END AS text
+              FROM line_docs
+            ), p0 AS (
+              SELECT doc_id,
+                     string_split_regex(text, '\\n{{2,}}') AS l
+              FROM para_docs
+            ), pl AS (
+              SELECT doc_id, unnest(range(len(l))) AS line_no,
+                     unnest(l) AS raw
+              FROM p0
+            ), nb AS (
+              SELECT doc_id, line_no, trim(raw) AS line
+              FROM pl WHERE trim(raw) <> ''
+            ), ranked AS (
+              SELECT doc_id, line_no, line,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, line_no) AS rn
+              FROM nb
+            ), kept AS (
+              SELECT * FROM ranked WHERE rn = 1
+            ), tot AS (
+              SELECT doc_id, count(*) AS n_total FROM nb GROUP BY 1
+            )
+            SELECT k.doc_id,
+                   string_agg(k.line, chr(10) || chr(10)
+                              ORDER BY k.line_no) AS text_clean,
+                   count(*) AS n_lines_kept,
+                   any_value(t.n_total) - count(*) AS n_lines_dropped
+            FROM kept k JOIN tot t ON k.doc_id = t.doc_id
+            GROUP BY k.doc_id
         """,
         # the df threshold is counted on the line TEXT (count(DISTINCT
         # doc_id)), so the Spark side's xxhash64 frequency key is

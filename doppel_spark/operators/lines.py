@@ -7,6 +7,10 @@ dedup and MinHash near-dup in a training cut:
   non-first occurrence of a (trimmed) line across the whole corpus is
   dropped and documents are reassembled from their surviving lines —
   the classic boilerplate killer (nav bars, cookie banners, footers).
+* :func:`paragraph_dedup` — the same op at **paragraph granularity**
+  (the CCNet convention: units bounded by blank lines, single newlines
+  stay inside their paragraph) — :func:`line_dedup` generalizes over
+  the unit separator, this is the standard second instantiation.
 * :func:`boilerplate_line_filter` — **document-frequency boilerplate
   cut**: lines appearing in ≥ ``min_df`` distinct documents are
   removed from EVERY document (including the first occurrence
@@ -62,17 +66,24 @@ def nonblank_lines(text: Column | str) -> Column:
     )
 
 
+#: paragraph separator: 2+ consecutive newlines (single newlines stay
+#: INSIDE a paragraph) — RE2-compatible, DuckDB-mirrorable
+PARAGRAPH_SEP = "\n{2,}"
+
+
 def split_lines(df: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text", sep: str = "\n") -> DataFrame:
     """Explode documents to (id, line_no, line) — trimmed, blanks dropped.
 
     ``line_no`` is the 0-based position in the ORIGINAL document (blank
     lines still advance it), so (id, line_no) is a stable line address
-    for lineage and for deterministic winner election.
+    for lineage and for deterministic winner election. ``sep`` is the
+    unit boundary (regex): ``"\\n"`` for lines (default),
+    :data:`PARAGRAPH_SEP` for paragraphs.
     """
     return (
         df.select(F.col(id_col),
-                  F.posexplode(F.split(_text_col(text_col), "\n"))
+                  F.posexplode(F.split(_text_col(text_col), sep))
                   .alias("line_no", "line"))
         .withColumn("line", F.trim("line"))
         .filter(F.col("line") != "")
@@ -80,7 +91,8 @@ def split_lines(df: DataFrame, id_col: str = "doc_id",
 
 
 def line_dedup(df: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text") -> DataFrame:
+               text_col: str = "text", sep: str = "\n",
+               join_sep: str | None = None) -> DataFrame:
     """Corpus-wide line-level exact dedup, keep first global occurrence.
 
     A line survives iff its (trimmed) text has not appeared earlier in
@@ -99,8 +111,14 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     expression work (index into the re-split text) — so the only
     full-row movement is the one id-join shuffle, which AQE replaces
     with a broadcast whenever the decision table fits.
+
+    ``sep``/``join_sep`` pick the dedup unit: the defaults are lines;
+    ``sep=PARAGRAPH_SEP, join_sep="\\n\\n"`` is paragraph granularity
+    (the CCNet convention — see :func:`paragraph_dedup`). ``join_sep``
+    defaults to ``sep`` (correct only when ``sep`` is a literal).
     """
-    lines = split_lines(df, id_col=id_col, text_col=text_col)
+    join_sep = sep if join_sep is None else join_sep
+    lines = split_lines(df, id_col=id_col, text_col=text_col, sep=sep)
     keyed = lines.select(id_col, "line_no", F.xxhash64("line").alias("lk"))
     winners = keyed.groupBy("lk").agg(
         F.min(F.struct(id_col, "line_no")).alias("w"))
@@ -110,22 +128,35 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("line_no")).alias("_keep"))
     )
-    return _reassemble_kept(df, keep_arrays, id_col, text_col)
+    return _reassemble_kept(df, keep_arrays, id_col, text_col,
+                            sep=sep, join_sep=join_sep)
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Corpus-wide PARAGRAPH-level exact dedup, keep first global
+    occurrence — :func:`line_dedup` at the CCNet granularity: units
+    are separated by blank lines (2+ newlines), single newlines stay
+    inside their paragraph, reassembly joins with one blank line.
+    Same slim-shuffle plan shape as the line op."""
+    return line_dedup(df, id_col=id_col, text_col=text_col,
+                      sep=PARAGRAPH_SEP, join_sep="\n\n")
 
 
 def _reassemble_kept(df: DataFrame, keep_arrays: DataFrame,
-                     id_col: str, text_col: str) -> DataFrame:
+                     id_col: str, text_col: str, sep: str = "\n",
+                     join_sep: str = "\n") -> DataFrame:
     """Rebuild documents from a slim per-doc keep decision.
 
     ``keep_arrays`` holds one ``(id, _keep: sorted int array)`` row per
     surviving document, ``_keep`` indexing into the doc's ORIGINAL
-    ``\\n``-split (blank lines counted). The join back to ``df`` is the
+    ``sep``-split (blank units counted). The join back to ``df`` is the
     only full-row shuffle of the line ops — AQE broadcasts the decision
     table whenever it fits — and the rebuild itself is per-row array
     expression work. Documents absent from ``keep_arrays`` (zero
     surviving lines) are dropped.
     """
-    trimmed = F.transform(F.split(_text_col(text_col), "\n"),
+    trimmed = F.transform(F.split(_text_col(text_col), sep),
                           lambda x: F.trim(x))
     n_total = F.size(F.filter(trimmed, lambda x: x != ""))
     kept_lines = F.transform(F.col("_keep"),
@@ -134,7 +165,7 @@ def _reassemble_kept(df: DataFrame, keep_arrays: DataFrame,
         df.join(keep_arrays, id_col)
         .select(
             F.col(id_col),
-            F.array_join(kept_lines, "\n").alias("text_clean"),
+            F.array_join(kept_lines, join_sep).alias("text_clean"),
             F.size("_keep").cast("long").alias("n_lines_kept"),
             (n_total - F.size("_keep")).cast("long")
             .alias("n_lines_dropped"),

@@ -235,3 +235,41 @@ def test_boilerplate_line_filter_rejects_min_df_below_two(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="min_df"):
         boilerplate_line_filter(docs, min_df=1)
+
+
+def test_paragraph_dedup_units_and_internal_newlines(spark):
+    """Paragraphs are bounded by blank lines; a single newline stays
+    INSIDE its paragraph (so two docs sharing a line but not a whole
+    paragraph do NOT dedup); reassembly joins with one blank line."""
+    from doppel_spark.operators.lines import paragraph_dedup
+
+    shared = "shared para line one\nshared para line two"
+    rows = [
+        (1, f"intro one\n\n{shared}\n\noutro one"),
+        # doc 2 repeats doc 1's whole two-line paragraph -> dropped here
+        (2, f"intro two\n\n{shared}\n\noutro two"),
+        # doc 3 shares only ONE of the two lines -> different paragraph,
+        # must survive untouched
+        (3, "intro three\n\nshared para line one\n\noutro three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["text_clean"] == f"intro one\n\n{shared}\n\noutro one"
+    assert out[1]["n_lines_dropped"] == 0
+    assert out[2]["text_clean"] == "intro two\n\noutro two"
+    assert out[2]["n_lines_kept"] == 2 and out[2]["n_lines_dropped"] == 1
+    assert out[3]["text_clean"] == \
+        "intro three\n\nshared para line one\n\noutro three"
+    assert out[3]["n_lines_dropped"] == 0
+
+
+def test_paragraph_dedup_multi_blank_separators(spark):
+    """3+ consecutive newlines are ONE separator (\\n{2,}), and a doc
+    whose every paragraph is dropped disappears."""
+    from doppel_spark.operators.lines import paragraph_dedup
+
+    rows = [(1, "alpha\n\n\n\nbeta"), (2, "alpha\n\n\nbeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df).collect()}
+    assert out[1]["text_clean"] == "alpha\n\nbeta"
+    assert 2 not in out  # both its paragraphs lost to doc 1
