@@ -112,6 +112,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--split-weights", default="train=0.98,val=0.01,test=0.01")
     p.add_argument("--split-seed", default="curate-split-v1")
     p.add_argument("--skip-line-dedup", action="store_true")
+    p.add_argument("--line-dedup-unit", choices=["line", "paragraph"],
+                   default="line",
+                   help="corpus dedup granularity: 'line' (C4 style) or "
+                        "'paragraph' (CCNet style — blank-line-bounded "
+                        "units, single newlines stay inside their unit)")
     p.add_argument("--skip-quality", action="store_true")
     p.add_argument("--verify-extraction", choices=["off", "report", "strict"],
                    default="off",
@@ -219,7 +224,7 @@ def main(argv: list[str] | None = None) -> dict:
     run_cfg = (repr(cfg.filter), weights, args.split_seed,
                args.decontaminate_ngram, sorted(args.eval),
                args.max_per_host, args.token_budget, args.shards,
-               args.skip_line_dedup, args.skip_quality,
+               args.skip_line_dedup, args.line_dedup_unit, args.skip_quality,
                args.verify_extraction, args.blocklist,
                args.block_url_patterns, args.boilerplate_min_df,
                args.min_host_rank_micros, args.host_rank_iterations,
@@ -310,7 +315,11 @@ def main(argv: list[str] | None = None) -> dict:
 
     if not args.skip_line_dedup:
         def lined(df: DataFrame) -> DataFrame:
-            dd = line_dedup(df, id_col="url")
+            if args.line_dedup_unit == "paragraph":
+                from doppel_spark.operators.lines import paragraph_dedup
+                dd = paragraph_dedup(df, id_col="url")
+            else:
+                dd = line_dedup(df, id_col="url")
             return (df.select("url", "warc_ts", "lang", "pii_hits")
                     .join(dd, "url")
                     .withColumnRenamed("text_clean", "text"))

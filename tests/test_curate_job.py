@@ -339,3 +339,46 @@ def test_normalize_nfc_merges_encoding_variant_dups(spark, tmp_path):
     nfc = {s["stage"]: s["rows"] for s in rep_nfc["stages"]}
     assert off["s03_exact_dedup"] == 6   # byte-different: both kept
     assert nfc["s03_exact_dedup"] == 5   # normalized: variant collapsed
+
+
+def test_line_dedup_unit_paragraph(spark, tmp_path):
+    """--line-dedup-unit paragraph dedups blank-line-bounded units: a
+    two-line paragraph shared across docs is removed as one unit from
+    the later doc, while a doc sharing only one of its lines keeps its
+    (different) paragraph."""
+    import random
+    from datetime import datetime, timezone
+
+    rng = random.Random(53)
+    words = ("tango uniform victor whiskey xray yankee zulu alpha "
+             "bravo charlie delta echo foxtrot golf hotel").split()
+    ts = datetime(2022, 6, 1, tzinfo=timezone.utc)
+
+    def filler(i):
+        return f"doc {i} " + " ".join(rng.choice(words) for _ in range(25))
+
+    shared = "verify your email\nto keep reading this article"
+    rows = [
+        ("https://x.net/a", ts, f"{filler(0)}\n\n{shared}", "en"),
+        ("https://x.net/b", ts, f"{filler(1)}\n\n{shared}", "en"),
+        ("https://x.net/c", ts,
+         f"{filler(2)}\n\nverify your email", "en"),
+    ]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string"
+    ).write.parquet(src)
+    rep = _main(["--input", src,
+                 "--output", str(tmp_path / "o_para"),
+                 "--checkpoint", str(tmp_path / "c_para"),
+                 "--line-dedup-unit", "paragraph",
+                 "--shards", "1", "--skip-quality"])
+    assert rep["train_docs"] + sum(
+        v for k, v in rep["split_counts"].items() if k != "train") == 3
+    out = spark.read.parquet(str(tmp_path / "o_para" / "train_shards"))
+    texts = {r["url"]: r["text"] for r in out.collect()}
+    kept_with_block = [u for u, t in texts.items() if shared in t]
+    assert len(kept_with_block) == 1  # keep-first: exactly one survivor
+    # /c's single-line paragraph is a DIFFERENT unit — untouched
+    if "https://x.net/c" in texts:
+        assert texts["https://x.net/c"].endswith("verify your email")
