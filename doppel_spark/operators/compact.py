@@ -97,7 +97,13 @@ def compact_parquet_dir(
      .repartition(n_target)
      .write.mode("overwrite").parquet(tmp))
     os.rename(local, trash)
-    os.rename(tmp, local)
+    try:
+        os.rename(tmp, local)
+    except OSError:
+        # restore the original table before propagating — a failed
+        # swap must never leave the path empty
+        os.rename(trash, local)
+        raise
     shutil.rmtree(trash, ignore_errors=True)
     after = len(_list_parquet_parts(local))
     return {**stats, "files_after": after, "rewritten": True}

@@ -4,9 +4,13 @@ resumable batch job.
 
     spark-submit --py-files doppel_spark.zip jobs/curate_job.py \
         --input /path/to/pages_parquet [--input more_segments ...] \
+        [--warc-input /path/to/raw_archives] \
         --output /path/to/out --checkpoint /path/to/ckpt \
-        [--eval /path/to/eval_parquet] [--synth-docs N] \
-        [--preset docs] [--min-size 1KB] [--langs en,de] \
+        [--eval /path/to/eval_parquet] [--fuzzy-decontaminate] \
+        [--synth-docs N] [--preset docs] [--min-size 1KB] [--langs en,de] \
+        [--blocklist hosts.txt] [--block-url-patterns re1,re2] \
+        [--min-host-rank-micros N] [--normalize {off,nfc,nfkc}] \
+        [--boilerplate-min-df N] [--line-dedup-unit {line,paragraph}] \
         [--max-per-host K] [--token-budget B] [--shards N] \
         [--split-weights train=0.98,val=0.01,test=0.01] \
         [--decontaminate-ngram 13] [--skip-line-dedup] [--skip-quality] \
