@@ -51,6 +51,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    default=None,
                    help="stats report rendering (~ doppel's --output-format, "
                         "/root/reference/internal/output/formatter.go:27-94)")
+    p.add_argument("--normalize", choices=["off", "nfc", "nfkc"],
+                   default="off",
+                   help="Unicode-normalize text (and strip C0 controls) "
+                        "before any digest/shingle tier — encoding "
+                        "variants of the same page otherwise split groups")
     return p.parse_args(argv)
 
 
@@ -96,8 +101,20 @@ def main(argv: list[str] | None = None) -> None:
     fc = cfg.filter
     from pyspark.sql import functions as F
 
+    if args.normalize != "off":
+        from doppel_spark.functions.normalize import (
+            strip_control_chars, unicode_normalize)
+        pages = pages.withColumn(
+            "text", unicode_normalize(strip_control_chars("text"),
+                                      form=args.normalize.upper()))
+
     pages = pages.filter(fc.keep_predicate(size_col=F.length("text"),
                                            source_col=None, lang_col="lang"))
+    # normalization changes the content every digest sees, so it keys
+    # the checkpoint config; the 'off' shape is kept byte-identical to
+    # older runs so their checkpoints stay resumable
+    _fc_key = repr(fc) if args.normalize == "off" \
+        else repr((fc, args.normalize))
 
     t0 = time.time()
     tables = {}
@@ -107,7 +124,7 @@ def main(argv: list[str] | None = None) -> None:
         if args.checkpoint:
             from doppel_spark.checkpoint import CheckpointStore, run_exact_dedup_checkpointed
             store = CheckpointStore(spark, os.path.join(args.checkpoint, "exact"),
-                                    run_config=repr(fc))
+                                    run_config=_fc_key)
             staged = run_exact_dedup_checkpointed(store, pages, size_col=None)
             tables["groups"] = staged["groups"]
         else:
@@ -120,7 +137,7 @@ def main(argv: list[str] | None = None) -> None:
         if args.checkpoint:
             from doppel_spark.checkpoint import CheckpointStore, run_neardup_checkpointed
             nstore = CheckpointStore(spark, os.path.join(args.checkpoint, "near"),
-                                     run_config=(repr(fc), repr(ncfg)))
+                                     run_config=(_fc_key, repr(ncfg)))
             staged = run_neardup_checkpointed(nstore, pages, ncfg)
             tables["clusters"] = staged["clusters"]
             tables["pairs"] = staged["verified"]

@@ -83,3 +83,32 @@ def test_job_output_format_pretty(tmp_path):
     assert "Duplicate Detection Report" in rendered
     assert "processing rate:" in rendered  # pretty_formatter.go:141-146 analog
     assert "processing rate:" in r.stdout
+
+
+def test_job_normalize_merges_encoding_variants(spark, tmp_path):
+    """--normalize nfc: composed and decomposed crawls of the same page
+    form ONE exact-dup group; without the flag they are distinct bytes
+    and no group forms. In-process call of the job's main() (subprocess
+    startup is covered by the e2e test above)."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(REPO / "jobs"))
+    import neardup_job
+
+    base = "caf\u00e9 r\u00e9sum\u00e9 " + " ".join(
+        f"tok{i}" for i in range(30))
+    rows = [("u:1", base), ("u:2", base.replace("\u00e9", "e\u0301"))]
+    rows += [(f"u:{i}", f"doc {i} " + " ".join(f"w{i}x{j}" for j in range(30)))
+             for i in range(3, 8)]
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(src)
+
+    import duckdb
+
+    for flag, expect_groups in (("off", 0), ("nfc", 1)):
+        out = str(tmp_path / f"out_{flag}")
+        neardup_job.main(["--input", src, "--output", out,
+                          "--mode", "exact", "--normalize", flag])
+        n = duckdb.connect().execute(
+            f"select count(*) from '{out}/groups/*.parquet'").fetchone()[0]
+        assert n == expect_groups, (flag, n)
