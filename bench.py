@@ -71,6 +71,11 @@ HEADLINE = [
     "pii_redaction",
     "packed_sequences",
     "gopher_filter",
+    # late round-5 additions (set now 26): the two new data ops with
+    # non-trivial plans — normalization is a udf canary-class pass,
+    # compaction is layout-not-compute; both stay correctness-only.
+    "paragraph_dedup_docs",
+    "boilerplate_lines",
 ]
 
 FLAGSHIP_DOCS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_DOCS", "20000"))
