@@ -1835,6 +1835,34 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: heavy-hitters contract config: k picks the strict n/k frequency bar;
+#: the planted token appears 3× per doc (≈3% of the stream at every SF,
+#: comfortably over 1/50) so the sketch has a guaranteed hitter to find
+HH_K = 50
+HH_TOKEN = "zzclickbait"
+
+
+def _q_heavy_hitters_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters (operators/sketch.py), value-gated.
+
+    Token stream = the documents' space-split words with HH_TOKEN
+    planted 3× per doc. The operator's sketch stage bounds state at
+    O(k) per task; its exact-recount stage makes the OUTPUT precisely
+    the strict > n/k set with exact counts — so the DuckDB oracle is a
+    plain ``HAVING count(*) * k > total`` over the same stream, and a
+    hash match proves both the merge guarantee (no true hitter lost)
+    and the recount exactness (no false hitter kept, counts exact).
+    Split on the literal single space (the corpus construction's
+    joiner) so tokenization is parity-trivial in both engines."""
+    from doppel_spark.operators.sketch import heavy_hitters
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    planted = F.concat(F.col("text"), F.lit((" " + HH_TOKEN) * 3))
+    toks = docs.select(F.explode(F.split(planted, " ")).alias("key")) \
+        .filter(F.col("key") != "")
+    return heavy_hitters(toks, "key", k=HH_K)
+
+
 def _q_paragraph_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paragraph-granularity corpus dedup (operators/lines.py:
     paragraph_dedup — the CCNet unit), value-gated.
@@ -1982,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "control_stripped_planted": _q_control_stripped_planted,
         "line_dedup_docs": _q_line_dedup_docs,
         "paragraph_dedup_docs": _q_paragraph_dedup_docs,
+        "heavy_hitters_planted": _q_heavy_hitters_planted,
         "line_dedup_within": _q_line_dedup_within,
         "boilerplate_lines": _q_boilerplate_lines,
         "url_blocklist": _q_url_blocklist,
@@ -2877,6 +2906,20 @@ def oracle_sql() -> dict[str, str]:
                    printf('sh:%02d:b', rk) AS url_b,
                    CAST(0 AS BIGINT) AS hamming
             FROM sel
+        """,
+        # the sketch's exact-recount output IS the plain HAVING set —
+        # the sketch only bounds the memory of finding it
+        "heavy_hitters_planted": f"""
+            WITH t AS (
+              SELECT unnest(list_filter(
+                       string_split(text || '{(" " + HH_TOKEN) * 3}', ' '),
+                       x -> x <> '')) AS key
+              FROM documents WHERE text IS NOT NULL
+            ), tot AS (SELECT count(*) AS n FROM t)
+            SELECT key, count(*) AS n_exact
+            FROM t, tot
+            GROUP BY key, n
+            HAVING count(*) * {HH_K} > n
         """,
         # compaction is layout, not content: the compacted table's
         # values must equal the straight projection
