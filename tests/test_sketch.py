@@ -64,3 +64,16 @@ def test_heavy_hitters_null_keys_ignored_and_k_validated(spark):
     assert got == {"a": 2}  # 2*2 > 3; b: 1*2 !> 3; NULLs never counted
     with pytest.raises(ValueError, match="k must be"):
         heavy_hitters(df, "key", k=0)
+
+
+def test_heavy_hitters_plan_shape(spark):
+    """Candidates + total join in as broadcasts; the only Python is the
+    Arrow-batched summary stage (never row-at-a-time)."""
+    from doppel_spark.plans.inspect import assert_no_row_python
+
+    df = spark.createDataFrame([("a",), ("b",)], "key string")
+    hh = heavy_hitters(df, "key", k=5)
+    assert_no_row_python(hh)
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total join
