@@ -1835,6 +1835,44 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL pages source round-trip (sources/jsonl.py), value-gated.
+
+    The documents table is serialized to the JSONL wire shape (html as
+    base64, ISO timestamps — the ``write_pages_jsonl`` writer) and read
+    back through ``read_pages_jsonl``'s PERMISSIVE + pinned-schema
+    path; the contract returns (url, ts_iso, sha256(html), text, lang)
+    and the oracle replays the same construction straight from
+    documents — so json encode/decode, base64 both ways, timestamp
+    round-trip, and multibyte text survival are all hash-gated (same
+    pattern as ``warc_ingest``). Fixture written driver-side into an
+    atexit-reclaimed tempdir; the SOURCE read is distributed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from doppel_spark.sources.jsonl import read_pages_jsonl, write_pages_jsonl
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    pages = docs.select(
+        F.format_string("j:%06d", "doc_id").alias("url"),
+        (F.to_timestamp(F.lit(WARC_EPOCH))
+         + F.make_interval(secs=F.col("doc_id").cast("double")))
+        .alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text"),
+                          F.lit("</body></html>")), "UTF-8").alias("html"),
+        "text", "lang")
+    tmp = tempfile.mkdtemp(prefix="doppel_jsonl_")
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    write_pages_jsonl(pages, tmp)
+    src = read_pages_jsonl(spark, tmp)
+    return src.pages.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+        F.sha2("html", 256).alias("digest"),
+        "text", "lang")
+
+
 #: heavy-hitters contract config: k picks the strict n/k frequency bar;
 #: the planted token appears 3× per doc (≈3% of the stream at every SF,
 #: comfortably over 1/50) so the sketch has a guaranteed hitter to find
@@ -2011,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": _q_line_dedup_docs,
         "paragraph_dedup_docs": _q_paragraph_dedup_docs,
         "heavy_hitters_planted": _q_heavy_hitters_planted,
+        "jsonl_ingest": _q_jsonl_ingest,
         "line_dedup_within": _q_line_dedup_within,
         "boilerplate_lines": _q_boilerplate_lines,
         "url_blocklist": _q_url_blocklist,
@@ -2906,6 +2945,18 @@ def oracle_sql() -> dict[str, str]:
                    printf('sh:%02d:b', rk) AS url_b,
                    CAST(0 AS BIGINT) AS hamming
             FROM sel
+        """,
+        # replays the jsonl fixture construction (never the reader):
+        # the compare gates encode→wire→decode end to end
+        "jsonl_ingest": f"""
+            SELECT printf('j:%06d', doc_id) AS url,
+                   strftime(TIMESTAMP '{WARC_EPOCH}'
+                              + doc_id * INTERVAL 1 SECOND,
+                            '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+                   sha256('<html><body>' || text || '</body></html>')
+                     AS digest,
+                   text, lang
+            FROM documents WHERE text IS NOT NULL
         """,
         # the sketch's exact-recount output IS the plain HAVING set —
         # the sketch only bounds the memory of finding it
