@@ -67,6 +67,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "stream-parse records, extract text from html, "
                         "lang-ID it, and feed the funnel — the full "
                         "crawl-to-cut path (doppel_spark/sources/warc.py)")
+    p.add_argument("--jsonl-input", action="append", default=[],
+                   help="JSONL page dump (repeatable): one JSON object per "
+                        "line, html as base64; corrupt lines are skipped "
+                        "via the source's error side-channel "
+                        "(doppel_spark/sources/jsonl.py)")
     p.add_argument("--synth-docs", type=int, default=0,
                    help="generate a synthetic corpus of N docs instead of --input")
     p.add_argument("--output", required=True)
@@ -178,9 +183,13 @@ def main(argv: list[str] | None = None) -> dict:
             "url", "warc_ts", "html",
             extracted_text("html").alias("text"),
             lang_id(extracted_text("html")).alias("lang"))
+    elif args.jsonl_input:
+        from doppel_spark.sources.jsonl import read_pages_jsonl
+        pages = read_pages_jsonl(spark, args.jsonl_input).pages
     else:
         if not args.input:
-            raise SystemExit("need --input, --warc-input, or --synth-docs")
+            raise SystemExit("need --input, --warc-input, --jsonl-input, "
+                             "or --synth-docs")
         pages = read_pages(spark, args.input).pages
     # optional entry gate: the stored text must be what extraction over
     # the stored html yields, byte for byte (the north-rule per-row

@@ -382,3 +382,37 @@ def test_line_dedup_unit_paragraph(spark, tmp_path):
     # /c's single-line paragraph is a DIFFERENT unit — untouched
     if "https://x.net/c" in texts:
         assert texts["https://x.net/c"].endswith("verify your email")
+
+
+def test_jsonl_input_feeds_funnel_and_skips_corrupt_lines(spark, tmp_path):
+    """--jsonl-input: the wire-format dump feeds the funnel; a corrupt
+    line and a semantically-broken row are dropped by the source's
+    side-channel, never crashing the job."""
+    import json
+    import random
+
+    rng = random.Random(61)
+    words = ("maple willow cedar aspen birch alder rowan hazel elm "
+             "poplar linden beech hornbeam chestnut").split()
+    d = tmp_path / "dump"
+    d.mkdir()
+    lines = []
+    for i in range(10):
+        lines.append(json.dumps({
+            "url": f"https://j{i}.net/p",
+            "warc_ts": "2021-09-01T00:00:00Z",
+            "text": f"doc {i} " + " ".join(
+                rng.choice(words) for _ in range(30)),
+            "lang": "en"}))
+    lines.insert(3, "NOT JSON AT ALL {{{")
+    lines.insert(7, json.dumps({"url": None, "text": "orphan"}))
+    (d / "part-0.jsonl").write_text("\n".join(lines))
+
+    rep = _main(["--jsonl-input", str(d),
+                 "--output", str(tmp_path / "o_jsonl"),
+                 "--checkpoint", str(tmp_path / "c_jsonl"),
+                 "--shards", "1", "--skip-quality"])
+    stages = {s["stage"]: s["rows"] for s in rep["stages"]}
+    assert stages["s01_filtered"] == 10  # 12 lines, 2 rejected upstream
+    assert rep["train_docs"] + sum(
+        v for k, v in rep["split_counts"].items() if k != "train") == 10
