@@ -175,7 +175,8 @@ def _reassemble_kept(df: DataFrame, keep_arrays: DataFrame,
 
 def boilerplate_line_filter(df: DataFrame, min_df: int = 3,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text", sep: str = "\n",
+                            join_sep: str | None = None) -> DataFrame:
     """Remove EVERY occurrence of high-document-frequency lines.
 
     A (trimmed) line is boilerplate iff it appears in at least
@@ -201,10 +202,18 @@ def boilerplate_line_filter(df: DataFrame, min_df: int = 3,
     colliding lines (~2⁻⁶⁴ per distinct-line pair) exactly as in
     ``line_dedup`` — and as there, the contract oracle groups by the
     line text itself, so a collision is *caught*, not silently blessed.
+
+    ``sep``/``join_sep`` pick the unit exactly as in :func:`line_dedup`
+    — pass ``sep=PARAGRAPH_SEP, join_sep="\\n\\n"`` to cut boilerplate
+    PARAGRAPHS. Note the line-mode reassembly joins with ``"\\n"``, so
+    it flattens blank-line structure; a funnel that dedups at paragraph
+    granularity downstream should run this cut at paragraph granularity
+    too (jobs/curate_job.py does).
     """
     if min_df < 2:
         raise ValueError(f"min_df must be >= 2, got {min_df}")
-    lines = split_lines(df, id_col=id_col, text_col=text_col)
+    join_sep = sep if join_sep is None else join_sep
+    lines = split_lines(df, id_col=id_col, text_col=text_col, sep=sep)
     keyed = lines.select(id_col, "line_no", F.xxhash64("line").alias("lk"))
     blocked = (
         keyed.groupBy("lk")
@@ -217,7 +226,8 @@ def boilerplate_line_filter(df: DataFrame, min_df: int = 3,
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("line_no")).alias("_keep"))
     )
-    return _reassemble_kept(df, keep_arrays, id_col, text_col)
+    return _reassemble_kept(df, keep_arrays, id_col, text_col,
+                            sep=sep, join_sep=join_sep)
 
 
 def line_dedup_within_doc(df: DataFrame, id_col: str = "doc_id",

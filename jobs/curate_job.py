@@ -316,11 +316,18 @@ def main(argv: list[str] | None = None) -> dict:
     # so a df threshold computed after it can never fire — the df is
     # only meaningful on the original corpus line frequencies
     if args.boilerplate_min_df:
-        from doppel_spark.operators.lines import boilerplate_line_filter
+        from doppel_spark.operators.lines import (PARAGRAPH_SEP,
+                                                  boilerplate_line_filter)
 
         def boiled(df: DataFrame) -> DataFrame:
+            # the cut runs at the SAME unit as the downstream dedup:
+            # line-mode reassembly flattens blank-line structure, which
+            # would erase the paragraph boundaries paragraph-mode dedup
+            # needs (boilerplate_line_filter docstring)
+            unit = ({"sep": PARAGRAPH_SEP, "join_sep": "\n\n"}
+                    if args.line_dedup_unit == "paragraph" else {})
             bp = boilerplate_line_filter(df, min_df=args.boilerplate_min_df,
-                                         id_col="url")
+                                         id_col="url", **unit)
             return (df.select("url", "warc_ts", "lang", "pii_hits")
                     .join(bp.select("url", "text_clean"), "url")
                     .withColumnRenamed("text_clean", "text"))
@@ -395,9 +402,16 @@ def main(argv: list[str] | None = None) -> dict:
 
     shards_path = os.path.join(args.output, "train_shards")
     write_training_shards(train, shards_path, args.shards, key_col="url")
-    final = spark.read.parquet(shards_path)
-    train_tokens, train_docs = final.select(
-        F.sum(token_count("text")), F.count(F.lit(1))).first()
+    # a fully-cut corpus is a valid (if sad) outcome: the partitioned
+    # write of 0 rows leaves no data files, so the read-what-was-
+    # written totals below would die on schema inference — report
+    # zeros and let the per-stage funnel rows tell the story instead
+    if train.isEmpty():
+        train_tokens, train_docs = 0, 0
+    else:
+        final = spark.read.parquet(shards_path)
+        train_tokens, train_docs = final.select(
+            F.sum(token_count("text")), F.count(F.lit(1))).first()
 
     summary = {
         "duration_s": round(time.time() - t0, 3),

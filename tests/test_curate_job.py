@@ -416,3 +416,105 @@ def test_jsonl_input_feeds_funnel_and_skips_corrupt_lines(spark, tmp_path):
     assert stages["s01_filtered"] == 10  # 12 lines, 2 rejected upstream
     assert rep["train_docs"] + sum(
         v for k, v in rep["split_counts"].items() if k != "train") == 10
+
+
+def test_kitchen_sink_full_funnel(spark, tmp_path):
+    """Every compatible stage in ONE run: WARC ingest -> blocklist ->
+    domain-rank cut -> normalize -> boilerplate df-cut -> paragraph
+    dedup -> quality -> exact + fuzzy decontamination -> host cap ->
+    splits -> token budget -> shards. Catches inter-stage interface
+    breaks (column sets, id columns) the per-flag tests cannot."""
+    import gzip
+    import hashlib
+    import random
+
+    from doppel_spark.sources.warc import warc_file_bytes
+
+    rng = random.Random(71)
+    words = ("the of and to in that it was for on are as with his they "
+             "at be this from have or had by but not what all were we "
+             "when your can said there use an each which she do how").split()
+
+    uniq = iter(range(10 ** 6))
+
+    def para(n=3):
+        # ~40% unique tokens so the Gopher distinct-fraction rule
+        # passes; the stopword-heavy 60% keeps the low_stopword rule
+        # happy too
+        def tok():
+            return (rng.choice(words) if rng.random() < 0.6
+                    else f"u{next(uniq)}")
+        return "\n\n".join(
+            " ".join(tok() for _ in range(60)) for _ in range(n))
+
+    hosts = [f"site{i}.example.net" for i in range(5)]
+    recs = []
+    n_docs = 40
+    for i in range(n_docs):
+        host = ("spam.blocked.example" if i % 13 == 0
+                else hosts[i % len(hosts)])
+        links = "".join(f'<a href="https://{h}/">x</a>'
+                        for h in hosts if h != host)
+        # links sit inside the FIRST paragraph (wrapper extraction keeps
+        # raw inner html) so the nav paragraph stays byte-identical
+        # across docs — the df threshold needs identical units
+        body = (links + para()
+                + "\n\nhome about contact subscribe footer")
+        recs.append((f"https://{host}/a/{i}",
+                     f"2021-01-01T00:{i % 60:02d}:00Z",
+                     f"<html><body>{body}</body></html>".encode()))
+    # a leaked eval paragraph, embedded in a full-length doc so it
+    # SURVIVES the quality stage and reaches decontamination (the
+    # 12-token exact-blind case is covered by its dedicated test —
+    # here the exact 13-gram stage must catch a real leak)
+    eval_text = para(1)
+    leak_doc = eval_text + " " + para(2).replace("\n\n", " ")
+    recs.append((f"https://{hosts[0]}/leak",
+                 "2021-01-01T00:59:00Z",
+                 f"<html><body>{leak_doc}</body></html>".encode()))
+
+    root = tmp_path / "warc"
+    root.mkdir()
+    (root / "a.warc").write_bytes(warc_file_bytes(recs[:20]))
+    (root / "b.warc.gz").write_bytes(gzip.compress(warc_file_bytes(recs[20:])))
+    (tmp_path / "bl.txt").write_text("blocked.example\n")
+    spark.createDataFrame([(eval_text,)], "text string") \
+        .write.parquet(str(tmp_path / "eval"))
+
+    rep = _main([
+        "--warc-input", str(root),
+        "--output", str(tmp_path / "out_ks"),
+        "--checkpoint", str(tmp_path / "ckpt_ks"),
+        "--blocklist", str(tmp_path / "bl.txt"),
+        "--min-host-rank-micros", "1",   # exercises the stage; farm-free
+        "--normalize", "nfc",
+        "--boilerplate-min-df", "10",
+        "--line-dedup-unit", "paragraph",
+        "--eval", str(tmp_path / "eval"), "--fuzzy-decontaminate",
+        "--max-per-host", "8",
+        "--token-budget", "2000",
+        "--shards", "2",
+    ])
+    stages = {s["stage"]: s["rows"] for s in rep["stages"]}
+    # every configured stage ran, in order
+    want_order = ["s01_filtered", "s01b_block_reasons", "s01c_blocklisted",
+                  "s01d_low_rank_hosts", "s01e_host_ranked",
+                  "s02_url_canonical", "s03_exact_dedup", "s04_redacted",
+                  "s04b_boilerplate", "s05_line_dedup", "s06_quality_reasons",
+                  "s07_quality_kept", "s08_decontaminated",
+                  "s08b_fuzzy_decontaminated", "s09_host_capped",
+                  "s10_splits", "s11_train_token_cut"]
+    got_order = [s["stage"] for s in rep["stages"]]
+    assert got_order == want_order
+    assert rep["block_reasons"]["blocked_host"] == 4    # docs 0,13,26,39
+    assert stages["s01c_blocklisted"] == 37
+    # the leak doc shares 13-grams with the eval paragraph — the exact
+    # stage cuts it; the fuzzy stage then has nothing left to cut
+    assert stages["s08_decontaminated"] == stages["s07_quality_kept"] - 1
+    assert stages["s08b_fuzzy_decontaminated"] \
+        == stages["s08_decontaminated"]
+    assert rep["train_tokens"] <= 2000
+    out = spark.read.parquet(str(tmp_path / "out_ks" / "train_shards"))
+    texts = [r["text"] for r in out.collect()]
+    assert texts, "budget must leave at least one doc"
+    assert not any("subscribe footer" in t for t in texts)  # df-cut fired
