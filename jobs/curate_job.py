@@ -113,6 +113,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "the link graph are kept — no link evidence is not "
                         "spam evidence (0 disables; needs an html column)")
     p.add_argument("--host-rank-iterations", type=int, default=5)
+    p.add_argument("--seen-digests", default=None,
+                   help="parquet digest table accumulated from prior runs "
+                        "(column `digest`): docs whose content digest "
+                        "appears there are dropped before exact dedup — "
+                        "the incremental-crawl mode. Every run writes its "
+                        "own observed digests to <output>/new_digests; "
+                        "union them into the table for the next run")
     p.add_argument("--max-per-host", type=int, default=0,
                    help="0 disables the per-host cap")
     p.add_argument("--token-budget", type=int, default=0,
@@ -241,7 +248,8 @@ def main(argv: list[str] | None = None) -> dict:
                args.verify_extraction, args.blocklist,
                args.block_url_patterns, args.boilerplate_min_df,
                args.min_host_rank_micros, args.host_rank_iterations,
-               args.fuzzy_decontaminate, args.normalize)
+               args.fuzzy_decontaminate, args.normalize,
+               args.seen_digests)
     store = CheckpointStore(spark, args.checkpoint, run_config=run_cfg)
     t0 = time.time()
 
@@ -305,8 +313,36 @@ def main(argv: list[str] | None = None) -> dict:
             "left_anti"))
 
     cur = store.run("s02_url_canonical", lambda: url_canonical(cur))
+
+    if args.seen_digests:
+        # incremental-crawl mode: content seen by a PRIOR run leaves the
+        # funnel here — the cross-run analogue of exact dedup, keyed on
+        # the same (post-normalization) content digest. Only 32-byte
+        # digests join; full rows re-enter via the id semi-join.
+        from doppel_spark.functions.digests import full_digest
+
+        seen = (spark.read.parquet(args.seen_digests)
+                .select("digest").distinct())
+
+        def new_content(df: DataFrame) -> DataFrame:
+            inc = df.select("url", full_digest("text").alias("digest"))
+            new_ids = (inc.join(seen, "digest", "left_anti")
+                       .select("url"))
+            return df.join(new_ids, "url", "left_semi")
+
+        cur = store.run("s02b_new_content", lambda: new_content(cur))
+
     cur = store.run("s03_exact_dedup",
                     lambda: exact_dedup(cur, id_col="url").drop("digest"))
+    # every run publishes the digests it OBSERVED (post-cut survivors'
+    # content) so the caller can union them into the accumulated table
+    # for the next crawl; written even without --seen-digests so run #1
+    # bootstraps the table
+    from doppel_spark.functions.digests import full_digest as _fd
+    (cur.select(_fd("text").alias("digest"))
+     .filter(F.col("digest").isNotNull()).distinct()
+     .write.mode("overwrite")
+     .parquet(os.path.join(args.output, "new_digests")))
     cur = store.run("s04_redacted", lambda: cur.select(
         "url", "warc_ts", "lang", redact_pii("text").alias("text"),
         (email_count("text") + ipv4_count("text")).alias("pii_hits")))

@@ -518,3 +518,57 @@ def test_kitchen_sink_full_funnel(spark, tmp_path):
     texts = [r["text"] for r in out.collect()]
     assert texts, "budget must leave at least one doc"
     assert not any("subscribe footer" in t for t in texts)  # df-cut fired
+
+
+def test_incremental_crawl_seen_digests(spark, tmp_path):
+    """Two-crawl incremental mode: run 1 bootstraps <out>/new_digests;
+    run 2 over crawl 1 ∪ crawl 2 with --seen-digests drops every doc
+    whose CONTENT was already curated — including a re-crawl under a
+    brand-new url — while genuinely new docs pass."""
+    import random
+    from datetime import datetime, timezone
+
+    rng = random.Random(83)
+    words = ("harbor beacon anchor mast rudder galley keel bow stern "
+             "compass sextant chart buoy tide current").split()
+    ts = datetime(2022, 9, 1, tzinfo=timezone.utc)
+
+    def doc(i):
+        return f"doc {i} " + " ".join(rng.choice(words) for _ in range(30))
+
+    crawl1 = [(f"https://a.net/{i}", ts, doc(i), "en") for i in range(6)]
+    src1 = str(tmp_path / "crawl1")
+    spark.createDataFrame(
+        crawl1, "url string, warc_ts timestamp, text string, lang string"
+    ).write.parquet(src1)
+    rep1 = _main(["--input", src1, "--output", str(tmp_path / "o1"),
+                  "--checkpoint", str(tmp_path / "c1"),
+                  "--shards", "1", "--skip-quality"])
+    assert rep1["train_docs"] + sum(
+        v for k, v in rep1["split_counts"].items() if k != "train") == 6
+    digests = str(tmp_path / "o1" / "new_digests")
+    assert spark.read.parquet(digests).count() == 6
+
+    # crawl 2 = all of crawl 1 (refetched) + a re-crawl of doc 2 under
+    # a NEW url + 3 genuinely new docs
+    crawl2 = list(crawl1)
+    crawl2.append(("https://mirror.net/copy-of-2", ts, crawl1[2][2], "en"))
+    crawl2 += [(f"https://b.net/{i}", ts, doc(100 + i), "en")
+               for i in range(3)]
+    src2 = str(tmp_path / "crawl2")
+    spark.createDataFrame(
+        crawl2, "url string, warc_ts timestamp, text string, lang string"
+    ).write.parquet(src2)
+    rep2 = _main(["--input", src2, "--output", str(tmp_path / "o2"),
+                  "--checkpoint", str(tmp_path / "c2"),
+                  "--seen-digests", digests,
+                  "--shards", "1", "--skip-quality"])
+    stages = {s["stage"]: s["rows"] for s in rep2["stages"]}
+    assert stages["s01_filtered"] == 10
+    assert stages["s02b_new_content"] == 3  # only the b.net docs
+    out2 = spark.read.parquet(str(tmp_path / "o2" / "train_shards"))
+    assert all(r["url"].startswith("https://b.net/")
+               for r in out2.select("url").collect())
+    # run 2's digest table holds only the new content
+    assert spark.read.parquet(str(tmp_path / "o2" / "new_digests")) \
+        .count() == 3
