@@ -4,8 +4,9 @@ resumable batch job.
 
     spark-submit --py-files doppel_spark.zip jobs/curate_job.py \
         --input /path/to/pages_parquet [--input more_segments ...] \
-        [--warc-input /path/to/raw_archives] \
+        [--warc-input /path/to/raw_archives] [--jsonl-input dump/] \
         --output /path/to/out --checkpoint /path/to/ckpt \
+        [--seen-digests /path/to/accumulated_digests] \
         [--eval /path/to/eval_parquet] [--fuzzy-decontaminate] \
         [--synth-docs N] [--preset docs] [--min-size 1KB] [--langs en,de] \
         [--blocklist hosts.txt] [--block-url-patterns re1,re2] \
