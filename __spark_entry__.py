@@ -1835,6 +1835,17 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL quality signals (functions/urls.py:
+    url_signals) over the URL-variant corpus — length, path depth,
+    param count, integer-micros digit ratio, index flag; oracle mirrors
+    the component regexes literally over the shared pages CTE."""
+    from doppel_spark.functions.urls import url_signals
+
+    return url_signals(_url_pages(spark, sf_dir),
+                       url_col="url", id_col="doc_id")
+
+
 def _q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL pages source round-trip (sources/jsonl.py), value-gated.
 
@@ -2050,6 +2061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_docs": _q_paragraph_dedup_docs,
         "heavy_hitters_planted": _q_heavy_hitters_planted,
         "jsonl_ingest": _q_jsonl_ingest,
+        "url_signals": _q_url_signals,
         "line_dedup_within": _q_line_dedup_within,
         "boilerplate_lines": _q_boilerplate_lines,
         "url_blocklist": _q_url_blocklist,
@@ -2088,7 +2100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: DuckDB mirror of the _url_pages construction + canonicalize_url/host_of
 #: pipelines (urls.py) — literal regex-for-regex; shared by the
 #: url_canonical_dups and host_profile oracles.
-_URL_CANON_CTES = f"""pages AS (
+#: just the URL-variant corpus CTE (shared with the url_signals oracle)
+_URL_PAGES_CTE = """pages AS (
               SELECT doc_id, n_chars,
                 CASE CAST(doc_id % 4 AS INTEGER)
                   WHEN 0 THEN 'HTTPS://WWW.News.Example.COM:443/articles/'
@@ -2105,7 +2118,9 @@ _URL_CANON_CTES = f"""pages AS (
                        || CAST(doc_id // 4 AS VARCHAR)
                 END AS url
               FROM documents
-            ), parts AS (
+            )"""
+
+_URL_CANON_CTES = f"""{_URL_PAGES_CTE}, parts AS (
               SELECT doc_id, n_chars,
                 lower(regexp_extract(url,
                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
@@ -2945,6 +2960,34 @@ def oracle_sql() -> dict[str, str]:
                    printf('sh:%02d:b', rk) AS url_b,
                    CAST(0 AS BIGINT) AS hamming
             FROM sel
+        """,
+        # component regexes mirrored literally over the shared URL CTE
+        "url_signals": f"""
+            WITH {_URL_PAGES_CTE},
+            comp AS (
+              SELECT doc_id, url,
+                     regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+                       AS path,
+                     regexp_extract(url, '\\?([^#]*)', 1) AS qs
+              FROM pages
+            )
+            SELECT doc_id,
+                   CAST(length(url) AS BIGINT) AS url_len,
+                   CAST(len(list_filter(string_split(path, '/'),
+                                        x -> x <> '')) AS BIGINT)
+                     AS path_depth,
+                   CAST(len(list_filter(string_split(qs, '&'),
+                                        x -> x <> '')) AS BIGINT)
+                     AS n_params,
+                   CAST(CASE WHEN length(path) = 0 THEN 0
+                        ELSE floor((length(path)
+                              - length(regexp_replace(path, '[0-9]', '',
+                                                      'g')))
+                             * 1000000 / length(path)) END AS BIGINT)
+                     AS path_digit_micros,
+                   (path = '' OR path = '/') AS is_index
+            FROM comp
         """,
         # replays the jsonl fixture construction (never the reader):
         # the compare gates encode→wire→decode end to end

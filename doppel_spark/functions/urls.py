@@ -103,6 +103,44 @@ def host_of(url: Column | str) -> Column:
     return F.regexp_replace(host, r":[0-9]+$", "")
 
 
+def url_signals(df, url_col: str = "url", id_col: str = "doc_id"):
+    """Crawl-frontier URL quality signals — the pre-content filter tier.
+
+    URL shape predicts page value well enough that production crawls
+    filter on it BEFORE fetching (and corpus cuts before reading text):
+    deep paths and digit-heavy slugs correlate with pagination /
+    session-id / calendar traps, parameter count with faceted-search
+    churn, index pages with hub (non-content) pages. One row per input:
+
+    * ``url_len`` — total characters
+    * ``path_depth`` — non-empty ``/`` segments of the path
+    * ``n_params`` — query parameters (before any canonicalization)
+    * ``path_digit_micros`` — ⌊10⁶ · digit chars / path chars⌋ (0 for
+      an empty path) — integer micros, float-free cross-engine
+    * ``is_index`` — path is ``''`` or ``'/'``
+
+    Pure Catalyst over the ``url`` column alone (the same RE2-subset
+    component regexes as :func:`canonicalize_url`, mirrored literally
+    by the oracle); zero shuffle, composes with scan pushdown.
+    """
+    u = _col(url_col)
+    path = F.regexp_extract(u, _PATH, 1)
+    segs = F.filter(F.split(path, "/"), lambda x: x != "")
+    params = F.filter(F.split(F.regexp_extract(u, _QUERY, 1), "&"),
+                      lambda p: p != "")
+    digits = F.length(path) - F.length(F.regexp_replace(path, "[0-9]", ""))
+    return df.select(
+        F.col(id_col),
+        F.length(u).cast("long").alias("url_len"),
+        F.size(segs).cast("long").alias("path_depth"),
+        F.size(params).cast("long").alias("n_params"),
+        F.when(F.length(path) == 0, F.lit(0))
+        .otherwise(F.floor(digits * F.lit(1_000_000) / F.length(path)))
+        .cast("long").alias("path_digit_micros"),
+        ((path == "") | (path == "/")).alias("is_index"),
+    )
+
+
 def host_profile(df, url_col: str = "url", size_col: str | None = None,
                  id_col: str = "doc_id"):
     """Per-host corpus profile: url count, distinct canonical pages,

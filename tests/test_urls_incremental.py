@@ -207,3 +207,25 @@ def test_cross_snapshot_neardup_empty_seen(spark):
         incoming, empty, id_col="doc_id").count() == 0
     assert cross_snapshot_new_neardup(
         incoming, empty, id_col="doc_id").count() == incoming.count()
+
+
+def test_url_signals_shapes(spark):
+    from doppel_spark.functions.urls import url_signals
+
+    rows = [
+        (1, "https://a.net/"),
+        (2, "https://a.net"),
+        (3, "https://a.net/blog/2024/01/15/post-99?p=2&utm_source=x#frag"),
+        (4, "http://b.org/a//b/"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in url_signals(df).collect()}
+    assert out[1]["is_index"] and out[2]["is_index"]
+    assert out[1]["path_depth"] == 0 and out[2]["path_depth"] == 0
+    s3 = out[3]
+    assert s3["path_depth"] == 5      # blog/2024/01/15/post-99
+    assert s3["n_params"] == 2        # p=2 + utm_source=x (pre-canon)
+    assert not s3["is_index"]
+    # digits in '/blog/2024/01/15/post-99': 10 of 24 path chars
+    assert s3["path_digit_micros"] == 10 * 1_000_000 // 24
+    assert out[4]["path_depth"] == 2  # empty segment from '//' dropped
