@@ -114,6 +114,14 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "the link graph are kept — no link evidence is not "
                         "spam evidence (0 disables; needs an html column)")
     p.add_argument("--host-rank-iterations", type=int, default=5)
+    p.add_argument("--max-path-depth", type=int, default=0,
+                   help="drop docs whose URL path has more than N "
+                        "segments (pagination/calendar-trap heuristic; "
+                        "0 disables)")
+    p.add_argument("--max-path-digit-micros", type=int, default=0,
+                   help="drop docs whose URL path is more than N/1e6 "
+                        "digits by character (session-id/slug-spam "
+                        "heuristic; 0 disables)")
     p.add_argument("--seen-digests", default=None,
                    help="parquet digest table accumulated from prior runs "
                         "(column `digest`): docs whose content digest "
@@ -250,7 +258,8 @@ def main(argv: list[str] | None = None) -> dict:
                args.block_url_patterns, args.boilerplate_min_df,
                args.min_host_rank_micros, args.host_rank_iterations,
                args.fuzzy_decontaminate, args.normalize,
-               args.seen_digests)
+               args.seen_digests, args.max_path_depth,
+               args.max_path_digit_micros)
     store = CheckpointStore(spark, args.checkpoint, run_config=run_cfg)
     t0 = time.time()
 
@@ -266,6 +275,24 @@ def main(argv: list[str] | None = None) -> dict:
                 .agg(F.min(F.struct("warc_ts", "url")).alias("w"))
                 .select(F.col("w.url").alias("url")))
         return df.join(keep, "url", "left_semi")
+
+    if args.max_path_depth or args.max_path_digit_micros:
+        # URL-shape cut: reads only the url column, so it sits with the
+        # other pre-content stages (functions/urls.py:url_signals)
+        from doppel_spark.functions.urls import url_signals
+
+        def url_shaped(df: DataFrame) -> DataFrame:
+            sig = url_signals(df, url_col="url", id_col="url")
+            keep = F.lit(True)
+            if args.max_path_depth:
+                keep &= F.col("path_depth") <= args.max_path_depth
+            if args.max_path_digit_micros:
+                keep &= (F.col("path_digit_micros")
+                         <= args.max_path_digit_micros)
+            return df.join(sig.filter(keep).select("url"),
+                           "url", "left_semi")
+
+        cur = store.run("s01a_url_shape", lambda: url_shaped(cur))
 
     block_reasons: dict[str, int] = {}
     if args.blocklist or args.block_url_patterns:

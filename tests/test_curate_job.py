@@ -572,3 +572,42 @@ def test_incremental_crawl_seen_digests(spark, tmp_path):
     # run 2's digest table holds only the new content
     assert spark.read.parquet(str(tmp_path / "o2" / "new_digests")) \
         .count() == 3
+
+
+def test_url_shape_cut(spark, tmp_path):
+    """--max-path-depth / --max-path-digit-micros drop calendar-trap
+    and session-id-slug urls before any content stage."""
+    import random
+    from datetime import datetime, timezone
+
+    rng = random.Random(97)
+    words = ("granite slate shale flint basalt gneiss quartzite chert "
+             "marble gypsum pumice obsidian").split()
+    ts = datetime(2022, 10, 1, tzinfo=timezone.utc)
+
+    def text(i):
+        return f"doc {i} " + " ".join(rng.choice(words) for _ in range(30))
+
+    rows = [
+        (f"https://ok.net/blog/post-{i}", ts, text(i), "en")
+        for i in range(4)
+    ]
+    rows.append(("https://trap.net/2021/03/14/09/59/59/p", ts,
+                 text(10), "en"))                       # depth 7
+    rows.append(("https://spam.net/s/9f8e7d6c5b4a392817", ts,
+                 text(11), "en"))                       # digit-heavy slug
+    src = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string, lang string"
+    ).write.parquet(src)
+    rep = _main(["--input", src, "--output", str(tmp_path / "o_shape"),
+                 "--checkpoint", str(tmp_path / "c_shape"),
+                 "--max-path-depth", "4",
+                 "--max-path-digit-micros", "400000",
+                 "--shards", "1", "--skip-quality"])
+    stages = {s["stage"]: s["rows"] for s in rep["stages"]}
+    assert stages["s01_filtered"] == 6
+    assert stages["s01a_url_shape"] == 4
+    out = spark.read.parquet(str(tmp_path / "o_shape" / "train_shards"))
+    urls = [r["url"] for r in out.collect()]
+    assert all(u.startswith("https://ok.net/") for u in urls)
