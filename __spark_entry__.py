@@ -1835,6 +1835,33 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anchor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled host edges (functions/links.py:anchor_edges) over
+    deterministic synthetic html: each page links two hosts under
+    distinct labels — one with padding whitespace and one behind the
+    uppercase-HREF/www./:443 disguises — plus a relative link that must
+    drop; the oracle mirrors the anchor pattern literally with DuckDB's
+    lockstep multi-unnest replaying the positional zip."""
+    from doppel_spark.functions.links import anchor_edges
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+
+    def h(e):
+        return F.concat(F.lit("h"), e.cast("string"), F.lit(".example.com"))
+
+    html = F.concat(
+        F.lit('<html><body><a href="http://'), h((d * 7 + 1) % HLE_HOSTS),
+        F.lit('/p"> read h'), ((d * 7 + 1) % HLE_HOSTS).cast("string"),
+        F.lit(' </a><a class="m" HREF="https://www.'), h((d * 3) % HLE_HOSTS),
+        F.lit(':443/q">more</a><a href="/rel">skip</a></body></html>'))
+    pages = docs.select(
+        F.concat(F.lit("http://"), h(d % HLE_HOSTS), F.lit("/d/"),
+                 d.cast("string")).alias("url"),
+        html.alias("html"))
+    return anchor_edges(pages)
+
+
 def _q_url_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier URL quality signals (functions/urls.py:
     url_signals) over the URL-variant corpus — length, path depth,
@@ -2062,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_planted": _q_heavy_hitters_planted,
         "jsonl_ingest": _q_jsonl_ingest,
         "url_signals": _q_url_signals,
+        "anchor_edges": _q_anchor_edges,
         "line_dedup_within": _q_line_dedup_within,
         "boilerplate_lines": _q_boilerplate_lines,
         "url_blocklist": _q_url_blocklist,
@@ -2960,6 +2988,46 @@ def oracle_sql() -> dict[str, str]:
                    printf('sh:%02d:b', rk) AS url_b,
                    CAST(0 AS BIGINT) AS hamming
             FROM sel
+        """,
+        # anchor pattern mirrored literally; DuckDB's lockstep
+        # multi-unnest replays the positional href/label zip
+        "anchor_edges": f"""
+            WITH pages AS (
+              SELECT 'http://h' || CAST(doc_id % {HLE_HOSTS} AS VARCHAR)
+                       || '.example.com/d/' || CAST(doc_id AS VARCHAR) AS url,
+                     '<html><body><a href="http://h'
+                       || CAST((doc_id * 7 + 1) % {HLE_HOSTS} AS VARCHAR)
+                       || '.example.com/p"> read h'
+                       || CAST((doc_id * 7 + 1) % {HLE_HOSTS} AS VARCHAR)
+                       || ' </a><a class="m" HREF="https://www.h'
+                       || CAST((doc_id * 3) % {HLE_HOSTS} AS VARCHAR)
+                       || '.example.com:443/q">more</a>'
+                       || '<a href="/rel">skip</a></body></html>' AS html
+              FROM documents
+            ), raw AS (
+              SELECT url,
+                unnest(regexp_extract_all(html,
+                  '<[aA][ \t][^>]*[hH][rR][eE][fF]="([^"]*)"[^>]*>([^<]*)</[aA]>',
+                  1)) AS link,
+                unnest(regexp_extract_all(html,
+                  '<[aA][ \t][^>]*[hH][rR][eE][fF]="([^"]*)"[^>]*>([^<]*)</[aA]>',
+                  2)) AS anchor
+              FROM pages
+            ), hosts AS (
+              SELECT
+                regexp_replace(regexp_replace(lower(regexp_extract(url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  '^www\\.', ''), ':[0-9]+$', '') AS src,
+                regexp_replace(regexp_replace(lower(regexp_extract(link,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                  '^www\\.', ''), ':[0-9]+$', '') AS dst,
+                trim(anchor) AS anchor
+              FROM raw
+              WHERE regexp_matches(link, '^[hH][tT][tT][pP][sS]?://')
+            )
+            SELECT src, dst, anchor, CAST(COUNT(*) AS BIGINT) AS n
+            FROM hosts WHERE dst <> '' AND dst <> src
+            GROUP BY 1, 2, 3
         """,
         # component regexes mirrored literally over the shared URL CTE
         "url_signals": f"""

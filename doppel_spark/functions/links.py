@@ -64,6 +64,43 @@ def host_edges(pages: DataFrame, url_col: str = "url",
         F.count(F.lit(1)).alias("w"))
 
 
+#: one anchor element: double-quoted href + tag-free label text — the
+#: RE2-subset limitation twins (single-quoted/bare attrs, nested markup
+#: in the label) belong to the extraction tier, like HREF_REGEX's
+ANCHOR_PATTERN = (r'<[aA][ \t][^>]*[hH][rR][eE][fF]="([^"]*)"[^>]*>'
+                  r'([^<]*)</[aA]>')
+
+
+def anchor_edges(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """Labeled cross-host edges: (src, dst, anchor, n).
+
+    The anchor TEXT other sites use to link a host is a classic
+    relevance/quality signal (it describes the target in the linker's
+    words); this is :func:`host_edges` keeping the label. Two
+    ``regexp_extract_all`` passes over the SAME pattern (href group,
+    label group) stay index-aligned by construction and zip
+    positionally — pure Catalyst, html never leaves its scan task;
+    only (src, dst, trimmed anchor) strings shuffle, map-side combined.
+    """
+    h = _col(html_col)
+    z = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), F.lit(1))
+        .alias("link"),
+        F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), F.lit(2))
+        .alias("anchor"))
+    rows = (
+        pages.select(host_of(_col(url_col)).alias("src"),
+                     F.explode(z).alias("z"))
+        .select("src", F.col("z.link").alias("link"),
+                F.trim(F.col("z.anchor")).alias("anchor"))
+        .filter(F.col("link").rlike(ABS_HTTP_REGEX))
+        .select("src", host_of(F.col("link")).alias("dst"), "anchor")
+        .filter((F.col("dst") != "") & (F.col("dst") != F.col("src"))))
+    return rows.groupBy("src", "dst", "anchor").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
 def host_rank_from_pages(pages: DataFrame, url_col: str = "url",
                          html_col: str = "html", **rank_kwargs) -> DataFrame:
     """pages → outlink graph → domain rank, composed end to end."""

@@ -62,3 +62,26 @@ def test_html_never_in_edge_shuffle_schema(spark):
     plan = edges._jdf.queryExecution().optimizedPlan().toString()
     aggs = [ln for ln in plan.splitlines() if "Aggregate" in ln]
     assert aggs and all("html" not in ln for ln in aggs)
+
+
+def test_anchor_edges_labels_and_alignment(spark):
+    """href/label stay index-aligned across mixed markup; relative and
+    self links drop; labels trim; multiplicity aggregates."""
+    from doppel_spark.functions.links import anchor_edges
+
+    html = (
+        '<html><body>'
+        '<a href="http://b.net/1"> Read More </a>'
+        '<a class="nav" HREF="https://www.c.org:443/2">c site</a>'
+        '<a href="/rel">skip</a>'
+        '<a href="http://a.net/self">self</a>'
+        '<a data-x="1" href="http://b.net/3">Read More</a>'
+        '</body></html>')
+    df = spark.createDataFrame([("http://a.net/p", html)],
+                               "url string, html string")
+    got = {(r["src"], r["dst"], r["anchor"]): r["n"]
+           for r in anchor_edges(df).collect()}
+    assert got == {
+        ("a.net", "b.net", "Read More"): 2,   # trimmed + aggregated
+        ("a.net", "c.org", "c site"): 1,      # www./port seen through
+    }
