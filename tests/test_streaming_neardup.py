@@ -118,3 +118,52 @@ def test_refetch_of_same_url_never_self_pairs(spark):
                          ("mh:00:3", "mh:00:4")}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_state_survives_query_restart(spark):
+    """The production crash story: run the query over batch 0, STOP it,
+    then start a FRESH query on the same checkpoint over newly-arrived
+    files — members seen before the restart must pair with members
+    arriving after it (bucket state restored from the state store, not
+    rebuilt from reprocessed input)."""
+    rows = _planted_rows(2, 1)
+    b0 = [r for r in rows if not r[0].endswith(":4")]
+    b1 = [r for r in rows if r[0].endswith(":4")]
+    tmp = tempfile.mkdtemp(prefix="ndstream_restart_")
+    try:
+        from doppel_spark.config import NearDupConfig
+
+        cfg = NearDupConfig()
+
+        def start():
+            # file sink, not memory: only fault-tolerant sinks support
+            # checkpoint recovery (exactly the production shape)
+            stream = (spark.readStream.schema("url string, text string")
+                      .option("maxFilesPerTrigger", 1)
+                      .parquet(f"{tmp}/in/*"))
+            pairs = incremental_neardup_stream(stream, cfg)
+            return (pairs.writeStream.format("parquet")
+                    .option("path", f"{tmp}/out")
+                    .outputMode("append").trigger(availableNow=True)
+                    .option("checkpointLocation", f"{tmp}/ck").start())
+
+        spark.createDataFrame(b0, "url string, text string") \
+            .coalesce(1).write.parquet(f"{tmp}/in/b0")
+        q0 = start()
+        q0.awaitTermination(600)  # availableNow: drains b0, then stops
+
+        spark.createDataFrame(b1, "url string, text string") \
+            .coalesce(1).write.parquet(f"{tmp}/in/b1")
+        q1 = start()
+        q1.awaitTermination(600)
+
+        got = {(a, b) for a, b in spark.read.parquet(f"{tmp}/out")
+               .select("url_a", "url_b").distinct().collect()}
+        # run 1 emits each group's (2,3); run 2's :4 member pairs with
+        # BOTH pre-restart members — only possible if their signatures
+        # were restored from the state store across the restart
+        want = {(f"mh:{g:02d}:{x}", f"mh:{g:02d}:{y}")
+                for g in range(2) for x, y in ((2, 3), (2, 4), (3, 4))}
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
