@@ -1835,6 +1835,26 @@ def _q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_script_profile_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script letter ratios (functions/text.py:script_profile),
+    value-gated. The ASCII testdata is all-Latin, so Cyrillic and Han
+    runs are PLANTED (every 3rd / 4th doc; every 12th gets both). Java
+    and RE2 name script properties differently (``\\p{IsLatin}`` vs
+    ``\\p{Latin}``) but bind the same Unicode script data — the hash
+    match across engines is the point."""
+    from doppel_spark.functions.text import script_profile
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit(" \u041f\u0440\u0438\u0432\u0435\u0442"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit(" \u4f60\u597d")).otherwise(F.lit("")))
+    return docs.select("doc_id", *script_profile(planted))
+
+
 def _q_anchor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled host edges (functions/links.py:anchor_edges) over
     deterministic synthetic html: each page links two hosts under
@@ -2090,6 +2110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": _q_jsonl_ingest,
         "url_signals": _q_url_signals,
         "anchor_edges": _q_anchor_edges,
+        "script_profile_planted": _q_script_profile_planted,
         "line_dedup_within": _q_line_dedup_within,
         "boilerplate_lines": _q_boilerplate_lines,
         "url_blocklist": _q_url_blocklist,
@@ -2988,6 +3009,42 @@ def oracle_sql() -> dict[str, str]:
                    printf('sh:%02d:b', rk) AS url_b,
                    CAST(0 AS BIGINT) AS hamming
             FROM sel
+        """,
+        # RE2 script properties vs Java's over the same planted runs;
+        # oracle stays pure-ASCII via chr() codepoints
+        "script_profile_planted": """
+            WITH p AS (
+              SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 3 = 0 THEN ' ' || chr(1055)
+                     || chr(1088) || chr(1080) || chr(1074)
+                     || chr(1077) || chr(1090) ELSE '' END
+                || CASE WHEN doc_id % 4 = 0 THEN ' ' || chr(20320)
+                     || chr(22909) ELSE '' END AS t
+              FROM documents WHERE text IS NOT NULL
+            ), c AS (
+              SELECT doc_id,
+                length(t) - length(regexp_replace(t, '\\p{L}', '', 'g'))
+                  AS nl,
+                length(t) - length(regexp_replace(t, '\\p{Latin}', '', 'g'))
+                  AS nlat,
+                length(t) - length(regexp_replace(t, '\\p{Cyrillic}', '',
+                                                  'g')) AS ncyr,
+                length(t) - length(regexp_replace(t, '\\p{Han}', '', 'g'))
+                  AS nhan
+              FROM p
+            )
+            SELECT doc_id, CAST(nl AS BIGINT) AS n_letters,
+              CAST(CASE WHEN nl = 0 THEN 0
+                   ELSE floor(nlat * 1000000 / nl) END AS BIGINT)
+                AS latin_micros,
+              CAST(CASE WHEN nl = 0 THEN 0
+                   ELSE floor(ncyr * 1000000 / nl) END AS BIGINT)
+                AS cyrillic_micros,
+              CAST(CASE WHEN nl = 0 THEN 0
+                   ELSE floor(nhan * 1000000 / nl) END AS BIGINT)
+                AS han_micros
+            FROM c
         """,
         # anchor pattern mirrored literally; DuckDB's lockstep
         # multi-unnest replays the positional href/label zip

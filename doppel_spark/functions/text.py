@@ -62,6 +62,46 @@ def lang_id(text: Column | str) -> Column:
     return best_lang.alias("lang_pred")
 
 
+def script_profile(text: Column | str) -> list[Column]:
+    """Unicode-script letter ratios — the mixed-script cleaning signal.
+
+    Returns ``[n_letters, latin_micros, cyrillic_micros, han_micros]``:
+    total letter count (``\\p{L}``) and each script's integer-micros
+    share of it (0 when the text has no letters). Mixed-script text is
+    a classic spam/keyword-stuffing tell, and a script histogram is the
+    zero-model complement to stopword language-ID for scripts the
+    stopword lists don't cover.
+
+    Pure Catalyst ``regexp_replace`` counting. The property NAMES
+    differ per engine (Java ``\\p{IsLatin}`` here, RE2 ``\\p{Latin}``
+    in the DuckDB oracle) but both bind the same Unicode script data
+    for the planted checks — the contract query hash-matches values so
+    a table divergence would be CAUGHT, not silently blessed.
+    """
+    t = _col_of(text)
+
+    def n_of(cls: str) -> Column:
+        return F.length(t) - F.length(F.regexp_replace(t, cls, ""))
+
+    letters = n_of(r"\p{L}")
+
+    def micros(cls: str, name: str) -> Column:
+        return (F.when(letters == 0, F.lit(0))
+                .otherwise(F.floor(n_of(cls) * F.lit(1_000_000) / letters))
+                .cast("long").alias(name))
+
+    return [
+        letters.cast("long").alias("n_letters"),
+        micros(r"\p{IsLatin}", "latin_micros"),
+        micros(r"\p{IsCyrillic}", "cyrillic_micros"),
+        micros(r"\p{IsHan}", "han_micros"),
+    ]
+
+
+def _col_of(text: Column | str) -> Column:
+    return F.col(text) if isinstance(text, str) else text
+
+
 def punct_ratio(text: Column | str) -> Column:
     """Fraction of chars in a fixed punctuation class (0 for empty)."""
     t = F.col(text) if isinstance(text, str) else text

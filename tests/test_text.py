@@ -66,3 +66,21 @@ def test_quality_score_ordering(spark):
 def test_stopword_ratio(spark):
     assert _one(spark, "the xyzzy", stopword_ratio) == pytest.approx(0.5)
     assert _one(spark, "", stopword_ratio) == 0.0
+
+
+def test_script_profile_ratios_and_empty(spark):
+    from doppel_spark.functions.text import script_profile
+
+    rows = [("hello world",), ("hello Привет",),
+            ("你好",), ("12 ... 34",), (None,)]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select("text", *script_profile("text")).collect()
+    by = {r["text"]: r for r in got}
+    assert by["hello world"]["latin_micros"] == 1_000_000
+    mixed = by["hello Привет"]
+    assert mixed["n_letters"] == 11
+    assert mixed["latin_micros"] == 5 * 1_000_000 // 11
+    assert mixed["cyrillic_micros"] == 6 * 1_000_000 // 11
+    assert by["你好"]["han_micros"] == 1_000_000
+    assert by["12 ... 34"]["n_letters"] == 0
+    assert by["12 ... 34"]["latin_micros"] == 0  # no letters -> 0, not NaN
