@@ -225,12 +225,33 @@ QUICK_SAMPLE_SQL = (
 _TOKENS_SQL = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan spread (optimization guide §2.2/§6.1).
+
+    The sf testdata tables are SINGLE-row-group parquet files, so the
+    scan cannot be split below one task: every per-row stage above it
+    (tokenization, UDF kernels, gram explosion) funnels through one
+    core no matter how many the session has — measured r6 baseline:
+    whole-stage views stuck at "(1 + 1) / 2" on local[32]. When (and
+    only when) the scan yields fewer partitions than the session's
+    default parallelism, round-robin repartition to the core count: a
+    one-off local shuffle of the (by definition small) input that
+    unlocks full-width execution, with column pruning still applied
+    below the exchange. On a real table at cluster scale the scan has
+    >= parallelism splits and this is a no-op — no shuffle is added.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _line_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,7 +265,12 @@ def _line_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     line (an intra-document duplicate for the repetition signals).
     Mirrored literally by ``_LINE_DOCS_SQL``.
     """
-    toks = F.split(F.col("text"), " ")
+    # the token array is projected once and referenced as an attribute:
+    # with ``slice(toks, …)`` inline in the chunk lambda, interpreted
+    # HOF evaluation re-split the document once per chunk — O(tokens²)
+    # per doc across every line-granularity contract query (the r6
+    # per-element re-eval fix, see contamination.word_ngrams)
+    toks = F.col("_toks")
     nchunks = F.ceil(F.size(toks) / F.lit(LINE_WRAP)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), nchunks - 1),
@@ -259,7 +285,9 @@ def _line_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 7 == 0,
                F.concat(F.lit("\n"), first_line)).otherwise(F.lit("")),
     )
-    return _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.split(F.col("text"), " ").alias("_toks"))
+            .select("doc_id", text.alias("text")))
 
 
 #: DuckDB mirror of :func:`_line_docs` — a CTE named ``line_docs``
@@ -1146,7 +1174,12 @@ def _q_events_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_minhash_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
-    docs = _docs(spark, sf_dir).withColumn("url", F.col("doc_id").cast("string"))
+    # raw read, NOT _docs()/_spread: near_dup_pipeline evaluates its
+    # input lineage twice (digest pass + signature pass), so an outer
+    # repartition would shuffle the text twice; the pipeline spreads
+    # its signature stage internally instead (neardup.py, r6)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .withColumn("url", F.col("doc_id").cast("string")))
     res = near_dup_pipeline(docs, NearDupConfig())
     return res.cluster_summary().select(
         "cluster_rep", "n_docs", F.array_join("urls", ",").alias("members"))

@@ -26,21 +26,38 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _BASE = np.uint64(1099511628211)  # FNV prime — odd ⇒ full-period mod 2^64
+_BASE_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
 
 
 def _kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
-    """uint64 polynomial hashes of all k-grams of a byte array."""
+    """uint64 polynomial hashes of all k-grams of a byte array.
+
+    h_i = Σ_{m<k} d[i+m] · B^(k−1−m) (mod 2⁶⁴), computed in O(n) via a
+    prefix sum in the inverse-power basis: with S[t] = Σ_{u<t} d[u]·B⁻ᵘ,
+    h_i = (S[i+k] − S[i]) · B^(k−1+i) — B is odd so B⁻¹ exists mod 2⁶⁴
+    and the modular identity is exact. Values are bit-identical to the
+    direct windowed sum (asserted in tests); the former sliding-window
+    formulation materialized an (n, k) uint64 matrix — 8k bytes of
+    memory traffic per input byte, the dominant cost of the fingerprint
+    stage at k = 64 (guide §1.2: per-task work, after the plan shape).
+    """
     n = len(data)
     if n < k:
         return np.zeros(0, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        weights = np.empty(k, dtype=np.uint64)
-        w = np.uint64(1)
-        for i in range(k - 1, -1, -1):
-            weights[i] = w
-            w = w * _BASE
-        sw = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-        return (sw * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        ipw = np.empty(n, dtype=np.uint64)
+        ipw[0] = 1
+        np.cumprod(np.full(n - 1, _BASE_INV, dtype=np.uint64), out=ipw[1:])
+        s = np.empty(n + 1, dtype=np.uint64)
+        s[0] = 0
+        np.cumsum(data.astype(np.uint64) * ipw, out=s[1:])
+        m = n - k + 1
+        pw = np.empty(m, dtype=np.uint64)
+        pw[0] = _BASE ** np.uint64(k - 1)
+        if m > 1:
+            np.cumprod(np.full(m - 1, _BASE, dtype=np.uint64), out=pw[1:])
+            np.multiply(pw[1:], pw[0], out=pw[1:])
+        return (s[k:] - s[:m]) * pw
 
 
 def winnow(hashes: np.ndarray, window: int) -> np.ndarray:

@@ -549,21 +549,29 @@ def signature_agreement(sig_a: Column, sig_b: Column, num_perm: int) -> Column:
     """Estimated Jaccard = fraction of agreeing signature positions,
     over binary-packed signatures (4-byte little-endian cells).
 
-    Pure Catalyst (``aggregate`` over a constant-folded position
-    sequence; per-position 4-byte ``substr`` + binary equality):
-    verification of LSH candidate pairs never leaves the JVM, and the
-    pair join that feeds it moves one ~512-byte cell per side instead
-    of a 128-element array.
+    Pure Catalyst: per-position 4-byte ``substr`` + binary equality,
+    emitted as a FLAT balanced sum of ``num_perm`` CASE terms rather
+    than a higher-order ``aggregate`` over a position sequence — the
+    HOF form is interpreted (lambda expressions take no part in
+    whole-stage codegen) and was the dominant per-pair cost of the
+    verify stage (r6: the flagship's ``pairs`` cut dropped ~3× after
+    this rewrite). Same bytes compared, same integer sum, same final
+    division — value-identical. Verification of LSH candidate pairs
+    never leaves the JVM, and the pair join that feeds it moves one
+    ~512-byte cell per side instead of a 128-element array.
     """
     four = F.lit(SIG_BYTES_PER_PERM)
-    agree = F.aggregate(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        F.lit(0),
-        lambda acc, j: acc + F.when(
-            sig_a.substr(j * four + F.lit(1), four)
-            == sig_b.substr(j * four + F.lit(1), four), 1).otherwise(0),
-    )
-    return agree.cast("double") / F.lit(float(num_perm))
+    terms = [
+        F.when(
+            sig_a.substr(F.lit(j * SIG_BYTES_PER_PERM + 1), four)
+            == sig_b.substr(F.lit(j * SIG_BYTES_PER_PERM + 1), four),
+            1).otherwise(0)
+        for j in range(num_perm)
+    ]
+    while len(terms) > 1:  # balanced tree: depth log2(num_perm), not num_perm
+        terms = [terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                 for i in range(0, len(terms), 2)]
+    return terms[0].cast("double") / F.lit(float(num_perm))
 
 
 def exact_jaccard_udf(k: int = 5):

@@ -135,7 +135,11 @@ def url_signals(df, url_col: str = "url", id_col: str = "doc_id"):
         F.size(segs).cast("long").alias("path_depth"),
         F.size(params).cast("long").alias("n_params"),
         F.when(F.length(path) == 0, F.lit(0))
-        .otherwise(F.floor(digits * F.lit(1_000_000) / F.length(path)))
+        # long cast before the multiply: an int32 digit count × 1e6
+        # ARITHMETIC_OVERFLOWs under ANSI for paths ≥ ~2148 digit chars
+        # — precisely the digit-spam URLs this signal targets (ADVICE r5)
+        .otherwise(F.floor(digits.cast("long") * F.lit(1_000_000)
+                           / F.length(path)))
         .cast("long").alias("path_digit_micros"),
         ((path == "") | (path == "/")).alias("is_index"),
     )

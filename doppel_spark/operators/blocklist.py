@@ -64,12 +64,20 @@ def host_suffixes(host: Column) -> Column:
     UDF. The full host is element 1, so exact matching is the
     degenerate read of the same array.
     """
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    return F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.array_join(F.slice(labels, i + 1, n), "."),
-    )
+    # let-bind the label array: an inline ``slice(labels, …)`` would
+    # re-split the host once per suffix under interpreted HOF
+    # evaluation (the r6 per-element re-eval fix — hosts are short, but
+    # the binding costs nothing; see contamination.word_ngrams)
+    return F.element_at(
+        F.transform(
+            F.array(F.split(host, r"\.")),
+            lambda labels: F.transform(
+                F.sequence(F.lit(0), F.size(labels) - 1),
+                lambda i: F.array_join(
+                    F.slice(labels, i + 1, F.size(labels)), "."),
+            ),
+        ),
+        1)
 
 
 def url_blocklist_filter(

@@ -47,23 +47,63 @@ def _text_col(text: Column | str) -> Column:
     return F.col(text) if isinstance(text, str) else text
 
 
+#: complement of WS_CLASS — one match per word token (codegen'd count,
+#: no token array / gram materialization)
+_NONWS = "[^ \t\n\x0b\x0c\r]+"
+
+
+def word_ngram_count(text: Column | str, n: int) -> Column:
+    """``size(word_ngrams(text, n))`` computed arithmetically.
+
+    A document with T tokens has exactly max(T − n + 1, 0) word
+    n-grams (n ≥ 1), so the count needs only the token count — one
+    codegen'd ``regexp_count`` — not the O(T·n)-char gram array the
+    original ``size(word_ngrams(...))`` built and threw away (the r6
+    baseline's ``decontamination_report`` spent about half its 60 s in
+    that second gram materialization; lowercasing is count-neutral and
+    skipped too). Guide §1.2: don't compute things you throw away.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    t = _text_col(text)
+    n_toks = F.regexp_count(t, F.lit(_NONWS))
+    return (F.when(n_toks >= n, n_toks - n + 1)
+            .otherwise(F.lit(0)).cast("long"))
+
+
 def word_ngrams(text: Column | str, n: int, lowercase: bool = True) -> Column:
     """Array of contiguous word n-grams of ``text`` (space-joined).
 
     Tokens are the non-empty pieces of the ASCII-whitespace split;
     documents with fewer than ``n`` tokens yield an empty array.
+
+    The token array is LET-BOUND via a single-element ``array()``
+    wrapper and an outer ``transform`` lambda before the per-position
+    gram lambda runs. Interpreted higher-order functions re-evaluate
+    every non-lambda subexpression of their lambda body once PER
+    ELEMENT — with ``slice(toks, i+1, n)`` written directly, the full
+    split+filter of the document re-ran for every gram position,
+    i.e. O(tokens²) per document (the r6 baseline's 60 s
+    ``decontamination_report``). Binding the array to a lambda
+    variable makes the per-gram body O(n) reads of an already
+    evaluated value; output values are unchanged.
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     t = _text_col(text)
     if lowercase:
         t = F.lower(t)
-    toks = F.filter(F.split(t, WS_CLASS), lambda x: x != "")
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
-                    lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    toks = F.array_remove(F.split(t, WS_CLASS), "")
+    return F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.when(
+                F.size(tk) >= n,
+                F.transform(F.sequence(F.lit(0), F.size(tk) - n),
+                            lambda i: F.array_join(F.slice(tk, i + 1, n), " ")),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1)
 
 
 def eval_ngrams(eval_df: DataFrame, n: int, text_col: str = "text",
@@ -120,8 +160,7 @@ def contamination_report(corpus: DataFrame, eval_df: DataFrame,
     )
     base = corpus.select(
         F.col(id_col),
-        F.size(word_ngrams(text_col, n, lowercase)).cast("long")
-        .alias("n_grams"))
+        word_ngram_count(text_col, n).alias("n_grams"))
     return (
         base.join(hits, id_col, "left")
         .select(

@@ -156,13 +156,20 @@ def _reassemble_kept(df: DataFrame, keep_arrays: DataFrame,
     expression work. Documents absent from ``keep_arrays`` (zero
     surviving lines) are dropped.
     """
-    trimmed = F.transform(F.split(_text_col(text_col), sep),
-                          lambda x: F.trim(x))
+    # project the trimmed unit array ONCE, then index it through an
+    # attribute: with the transform lambda referencing the split/trim
+    # expression directly, interpreted HOF evaluation re-split the whole
+    # document per kept line (O(lines²)/doc — same per-element re-eval
+    # as contamination.word_ngrams, same fix)
+    units = df.withColumn(
+        "_units", F.transform(F.split(_text_col(text_col), sep),
+                              lambda x: F.trim(x)))
+    trimmed = F.col("_units")
     n_total = F.size(F.filter(trimmed, lambda x: x != ""))
     kept_lines = F.transform(F.col("_keep"),
                              lambda i: F.element_at(trimmed, i + 1))
     return (
-        df.join(keep_arrays, id_col)
+        units.join(keep_arrays, id_col)
         .select(
             F.col(id_col),
             F.array_join(kept_lines, join_sep).alias("text_clean"),
@@ -253,10 +260,17 @@ def line_dedup_within_doc(df: DataFrame, id_col: str = "doc_id",
     Quadratic in lines-per-document (array_position per line), which is
     bounded by document size, not corpus size.
     """
-    lines = nonblank_lines(text_col)
+    # project the line array once and reference it as an attribute: the
+    # filter lambda's ``array_position(lines, x)`` otherwise re-splits
+    # the document per line under interpreted HOF evaluation (the
+    # per-element re-eval fixed across this module in r6); the
+    # array_position scan itself stays — that quadratic is the
+    # algorithm, bounded by doc size, as documented above
+    staged = df.withColumn("_lines", nonblank_lines(text_col))
+    lines = F.col("_lines")
     kept = F.filter(
         lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1))
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("text_clean"),
         F.size(kept).cast("long").alias("n_lines_kept"),
@@ -276,7 +290,9 @@ def dup_line_fraction_micros(text: Column | str) -> Column:
     d = F.size(F.array_distinct(lines))
     return (
         F.when(n == 0, F.lit(0))
-        .otherwise(F.floor((n - d) * F.lit(1_000_000) / n))
+        # long cast before the multiply: int32 × 1e6 overflows under
+        # ANSI for ≥ 2148 repeated lines (ADVICE r5 pattern audit)
+        .otherwise(F.floor((n - d).cast("long") * F.lit(1_000_000) / n))
         .cast("long")
         .alias("dup_line_frac_micros")
     )
@@ -325,12 +341,22 @@ def top_ngram_mass(df: DataFrame, n: int = 2, id_col: str = "doc_id",
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     t = _text_col(text_col)
-    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
-                    lambda i: F.array_join(F.slice(toks, i + 1, n), " ")),
-    ).otherwise(F.array().cast("array<string>"))
+    toks = F.array_remove(F.split(F.trim(t), r"\s+"), "")
+    # let-bind the token array before the per-position gram lambda:
+    # interpreted HOFs re-evaluate non-lambda subexpressions of their
+    # body once per element, so an unbound ``slice(toks, …)`` re-split
+    # the document per gram — O(tokens²)/doc (same fix, same argument
+    # as contamination.word_ngrams)
+    grams = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.when(
+                F.size(tk) >= n,
+                F.transform(F.sequence(F.lit(0), F.size(tk) - n),
+                            lambda i: F.array_join(F.slice(tk, i + 1, n), " ")),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+        1)
     g = (
         df.select(F.col(id_col), F.explode(grams).alias("gram"))
         .select(id_col, F.xxhash64("gram").alias("gk"),
@@ -399,25 +425,26 @@ def gopher_quality_filter(
     rule (the one Gopher rule that needs an aggregation) is deliberately
     separate — compose with :func:`top_ngram_mass` when wanted.
     """
-    from doppel_spark.functions.text import tokens
-
-    from doppel_spark.corpus import LANG_STOPWORDS
+    # codegen'd regexp counts instead of interpreted HOF isin-filters —
+    # same rewrite (and same whole-token boundary argument) as
+    # functions/text.py; the micros numerators are cast to long before
+    # the multiply (int32 × 1e6 ARITHMETIC_OVERFLOWs under ANSI for
+    # counts ≥ 2148 — the ADVICE r5 pattern audit)
+    from doppel_spark.functions.text import any_stopword_hits, tokens
 
     t = F.col(text_col)
     toks = tokens(t)
-    n = F.size(toks)
-    all_stops = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
-    stop_hits = F.size(
-        F.filter(toks, lambda x: x.isin(*[F.lit(w) for w in all_stops])))
+    n = F.regexp_count(t, F.lit(r"\S+"))
+    stop_hits = any_stopword_hits(t)
     n_chars = F.length(t)
-    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,!?;:]", ""))
+    n_punct = F.regexp_count(t, F.lit(r"[.,!?;:]"))
     punct_micros = (
         F.when(n_chars == 0, F.lit(0))
-        .otherwise(F.floor(n_punct * F.lit(1_000_000) / n_chars))
+        .otherwise(F.floor(n_punct.cast("long") * F.lit(1_000_000) / n_chars))
         .cast("long"))
     distinct_micros = (
         F.when(n == 0, F.lit(1_000_000))
-        .otherwise(F.floor(F.size(F.array_distinct(toks))
+        .otherwise(F.floor(F.size(F.array_distinct(toks)).cast("long")
                            * F.lit(1_000_000) / n))
         .cast("long"))
     reason = (

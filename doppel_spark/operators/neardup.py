@@ -112,6 +112,18 @@ def near_dup_pipeline(
         .select(F.col("rep").alias("url_a"), F.col(id_col).alias("url_b"))
     )
     reps = base.join(rep_ids.select(id_col), id_col, "left_semi")
+    # Scale-adaptive width for the signature stage (guide §2.2): a
+    # low-partition input (single-row-group parquet cannot be split
+    # below one task) would funnel the MinHash kernel through one core.
+    # The spread happens HERE — after the exact-dedup pre-pass, on the
+    # distinct-text representatives, whose lineage is evaluated exactly
+    # once (the sigs cut) — not on the pipeline input: spreading `base`
+    # re-pays the shuffle per consumer (digests + sigs; measured +1-4 s
+    # at sf1.0). At cluster scale the input has >= parallelism splits
+    # and this is a no-op.
+    par = base.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        reps = reps.repartition(par)
 
     # Materialize signatures: they feed band-key explosion AND both
     # sides of the verification join — otherwise the (expensive) MinHash
