@@ -250,6 +250,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unspread documents scan — for the exact-dedup funnel family.
+
+    The funnel's per-row work is bounded-sample hashing by design
+    (unique-size docs are never digested; quick digests read ≤16 KiB),
+    so widening the scan buys it almost nothing — while its fully lazy
+    stacked-semi-join shape evaluates the input subtree ~5× per query,
+    so a repartition in the lineage is re-paid per evaluation path
+    (measured: the exact_dup_* / dedup_* queries got 0.2–0.8 s SLOWER
+    under the spread at sf1.0 while every per-row-heavy query got
+    4–50× faster). At cluster scale the distinction vanishes: a real
+    table scan is already parallel and `_spread` is a no-op there too.
+    """
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
@@ -336,13 +352,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q_exact_dup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res = exact_dup_pipeline(_docs(spark, sf_dir), id_col="doc_id",
+    res = exact_dup_pipeline(_docs_raw(spark, sf_dir), id_col="doc_id",
                              size_col="n_chars", sequential_ids=True)
     return res.members().withColumnRenamed("url", "doc_id")
 
 
 def _q_exact_dup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res = exact_dup_pipeline(_docs(spark, sf_dir), id_col="doc_id",
+    res = exact_dup_pipeline(_docs_raw(spark, sf_dir), id_col="doc_id",
                              size_col="n_chars")
     return res.metrics()
 
@@ -354,7 +370,7 @@ def _q_exact_dup_report_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter.go:147-207) feeding the three-stage funnel's stats report.
     Filter and funnel were previously only contract-tested separately."""
     res = exact_dup_pipeline(
-        _docs(spark, sf_dir), id_col="doc_id", size_col="n_chars",
+        _docs_raw(spark, sf_dir), id_col="doc_id", size_col="n_chars",
         filter_config=FILTER_PRESET, source_col="source", lang_col="lang")
     return res.metrics()
 
@@ -453,7 +469,7 @@ def _q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _docs(spark, sf_dir)
+        _docs_raw(spark, sf_dir)
         .groupBy(F.col("n_chars").alias("size"))
         .agg(F.count("*").alias("n_docs"))
         .filter(F.col("n_docs") > 1)
@@ -461,7 +477,7 @@ def _q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_filter_preset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     kept = docs.filter(FILTER_PRESET.keep_predicate(
         url_col="doc_id", size_col="n_chars", source_col="source",
         lang_col="lang"))
@@ -469,11 +485,11 @@ def _q_filter_preset_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_assignments(_docs(spark, sf_dir), id_col="doc_id")
+    return dedup_assignments(_docs_raw(spark, sf_dir), id_col="doc_id")
 
 
 def _q_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    asg = dedup_assignments(_docs(spark, sf_dir), id_col="doc_id")
+    asg = dedup_assignments(_docs_raw(spark, sf_dir), id_col="doc_id")
     return dedup_stats(asg, id_col="doc_id").select(
         F.col("total_docs").cast("long").alias("total_docs"),
         F.col("kept_docs").cast("long").alias("kept_docs"),
@@ -1016,7 +1032,7 @@ def _q_quick_digest_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doppel_spark.operators.exact import length_candidates, multi_member_keys
     from doppel_spark.functions.digests import quick_digest
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     cand = length_candidates(docs, size_col="n_chars", id_col="doc_id")
     qc = cand.withColumn("quick_digest", quick_digest("text"))
     return (
@@ -1035,7 +1051,7 @@ def _q_exact_dup_members_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked non-vacuously (the raw fixtures contain no duplicate
     texts). Semantics under test: finder.go:114-143 + finder_test.go:86-131.
     """
-    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    docs = _docs_raw(spark, sf_dir).select("doc_id", "text", "n_chars")
     copy = docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
                        "text", "n_chars")
     both = docs.union(copy)
@@ -1054,7 +1070,7 @@ def _q_quick_digest_buckets_planted(spark: SparkSession, sf_dir: str) -> DataFra
     from doppel_spark.functions.digests import quick_digest
     from doppel_spark.operators.exact import length_candidates
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_raw(spark, sf_dir)
     seeds = docs.filter(F.col("doc_id") < 20).select("doc_id")
     prefix = F.concat(F.repeat(F.lit("x"), 8000),
                       F.lpad(F.col("doc_id").cast("string"), 192, "0"))
@@ -1332,7 +1348,9 @@ def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands instead would make most random pairs candidates — a
     # near-cartesian that defeats the point of the scale path.
     # Probabilistic recall (hash-function-defined) → rows-only.
-    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    # raw read + ONE spread over the union (not per branch — r6):
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding"))
     planted = emb.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + F.lit(5_000_000)).alias("vec_id"),
         F.zip_with(
@@ -1341,7 +1359,7 @@ def _q_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     return embedding_neardup_pairs(
-        emb.union(planted), threshold=0.95, dim=EMB_DIM,
+        _spread(emb.union(planted)), threshold=0.95, dim=EMB_DIM,
     ).select("id_a", "id_b")
 
 
@@ -1670,7 +1688,7 @@ def _q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doppel_spark.checkpoint import (CheckpointStore,
                                          run_exact_dedup_checkpointed)
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    docs = _docs_raw(spark, sf_dir).select("doc_id", "text", "n_chars")
     planted = docs.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
                           "text", "n_chars")
     pages = docs.union(planted)
@@ -1707,12 +1725,15 @@ def _q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship_package(spark)
     from doppel_spark.functions.simhash import simhash_near_pairs
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # raw read + ONE spread over the union: spreading each branch
+    # separately would re-pay the repartition per union arm (r6)
+    docs = _docs_raw(spark, sf_dir).select("doc_id", "text")
     edited = docs.filter(F.col("doc_id") < 20).select(
         (F.col("doc_id") + F.lit(3_000_000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zyxq")).alias("text"),
     )
-    both = docs.union(edited).withColumn("url", F.col("doc_id").cast("string"))
+    both = _spread(docs.union(edited)) \
+        .withColumn("url", F.col("doc_id").cast("string"))
     fps = both.select("url", simhash_udf()(F.col("text")).alias("simhash"))
     return simhash_near_pairs(fps, id_col="url", hamming_t=3)
 
