@@ -819,7 +819,11 @@ def _url_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("?utm_campaign=x&ref=tw")))
         .otherwise(F.concat(F.lit("http://blog.example.org/post/"), ks))
     )
-    return _docs(spark, sf_dir).select("doc_id", url.alias("url"), "n_chars")
+    # raw scan (r6): per-row work here is a short string concat and,
+    # downstream, regexp canonicalization of ~60-char URLs — the spread
+    # exchange cost more than it saved on every sf1.0 sweep (best-of
+    # 0.63 raw vs 0.76–0.79 spread for url_canonical_dups)
+    return _docs_raw(spark, sf_dir).select("doc_id", url.alias("url"), "n_chars")
 
 
 def _q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,8 +910,15 @@ def _q_incremental_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted refetches (``doc_id % 5 == 1`` texts under new ids). Only
     content never seen before survives the digest anti-join — every
     refetch must drop, every genuinely-new doc must pass (all sf-table
-    texts are distinct, probed at every SF)."""
-    docs = _docs(spark, sf_dir)
+    texts are distinct, probed at every SF).
+
+    Raw scan, not ``_docs``/_spread (r6): the funnel's per-row work is
+    one sha256 over the text (~GB/s, trivial at bench SF) while the
+    lineage evaluates the docs subtree three times (incoming digest
+    projection, seen digests, final semi-join) — a spread exchange is
+    re-paid per path. Measured at sf1.0: raw baseline was a tight
+    0.72–0.74 s, the spread version 1.0–2.4 s across two sweeps."""
+    docs = _docs_raw(spark, sf_dir)
     seen = docs.filter(F.col("doc_id") % 5 != 0)
     refetch = (docs.filter(F.col("doc_id") % 5 == 1)
                .withColumn("doc_id",
@@ -926,8 +937,9 @@ def _q_incremental_new_docs_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     to the exact path at ANY false-positive rate (bloom FPs only cost
     extra join rows, never correctness), so the oracle is the SAME
     anti-join SQL — the contract row proves the prefilter changes
-    traffic, not answers."""
-    docs = _docs(spark, sf_dir)
+    traffic, not answers. Raw scan for the same reason as the exact
+    twin (multi-path lineage over trivial per-row hashing)."""
+    docs = _docs_raw(spark, sf_dir)
     seen = docs.filter(F.col("doc_id") % 5 != 0)
     refetch = (docs.filter(F.col("doc_id") % 5 == 1)
                .withColumn("doc_id",

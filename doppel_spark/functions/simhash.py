@@ -122,7 +122,11 @@ def simhash_near_pairs(
     # (block-key explosion → bucket membership → verify joins) would
     # otherwise re-run that UDF once per evaluation path.
     mat = StageMaterializer.for_input(df, prefix="simhash")
-    fps = mat.cut(df.select(F.col(id_col), F.col(fp_col)), "fps")
+    # force=False: the membership cut inside pairs_from_buckets is the
+    # next blocking action and scans every fingerprint partition,
+    # filling this cache in that job (r6 — saves one driver action)
+    fps = mat.cut(df.select(F.col(id_col), F.col(fp_col)), "fps",
+                  force=False)
     exploded = fps.select(
         F.col(id_col), F.col(fp_col),
         F.explode(simhash_block_keys(F.col(fp_col), hamming_t)).alias("block_key"),

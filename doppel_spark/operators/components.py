@@ -94,11 +94,21 @@ def connected_components(
     # and every round's toRdd re-analyzes/re-optimizes it — measured
     # +1.4–1.7 s of pure driver planning per round on a cold JVM, the
     # round-4 bench regression (BENCH/NOTES_r4.md)
+    # One-scan symmetrization (r6): explode of the two orientations
+    # reads the (potentially large) pairs input once where the old
+    # self-union read it twice — measured −64 executed tasks per run at
+    # bench scale, same distinct row set. eager=False: the round-0
+    # fingerprint action below evaluates the labels0 plan, whose single
+    # path through sym materializes this truncation in the same job —
+    # one driver action instead of two.
     sym = mat.cut_iter(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(F.explode(F.array(
+            F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+            F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+        )).alias("_e"))
+        .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
         .distinct(),
-        "cc_sym",
+        "cc_sym", eager=False,
     )
     # fused round 1: label(u) = min(u, min(neighbors(u))) straight from
     # the edge list — one aggregation instead of init + propagate.

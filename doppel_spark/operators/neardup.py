@@ -103,8 +103,13 @@ def near_dup_pipeline(
     # materialization each re-scans the corpus and re-hashes every text.
     # The projection is ~40 B/row; at cluster scale the checkpointed
     # runner materializes this stage as a table instead (same idea).
+    # force=False (persist mode only): the sigs cut below is the next
+    # blocking action and its rep_ids broadcast build scans every
+    # digest partition, filling this cache in that job; later
+    # concurrent consumers are serialized per-partition by the block
+    # manager's write locks, so the eager fill count was pure overhead.
     digests = _materialize(base.select(F.col(id_col), full_digest(text_col)),
-                           "digests")
+                           "digests", force=False)
     rep_ids = digests.groupBy("digest").agg(F.min(id_col).alias(id_col))
     exact_edges = (
         digests.join(rep_ids.withColumnRenamed(id_col, "rep"), "digest")
@@ -148,7 +153,13 @@ def near_dup_pipeline(
     sigs = _materialize(
         signature_stage(reps, cfg, id_col=id_col, text_col=text_col)
         .select(id_col, F.xxhash64(id_col).alias("rid"),
-                "signature", "band_hashes"), "sigs")
+                "signature", "band_hashes"), "sigs", force=False)
+    # (sigs force=False: the memb cut right below scans every signature
+    # partition through band_keys, filling the cache in that job — the
+    # signature kernel still runs exactly once; see digests note above.
+    # memb/cand/pairs KEEP their forced fills: lazifying the
+    # multi-consumer cuts measured strictly worse, 46 jobs / 922
+    # executed tasks vs 44 / 827 — OPTIMIZATION_r06.md second pass.)
 
     # Bucket membership is cut as its own scratch table: it has three
     # consumers inside pair generation (combo self-join ×2 + star

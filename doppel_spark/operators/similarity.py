@@ -387,8 +387,13 @@ def embedding_neardup_pairs(
     # 2-6× inside cand's first evaluation — 26.5 s for 5 k vectors.
     if mat is None:
         mat = StageMaterializer.for_input(base, prefix="emblsh")
+    # force=False: the membership cut inside pairs_from_buckets is the
+    # next blocking action and its bucket-stats aggregation scans every
+    # partition of this frame, filling the cache in that same job — the
+    # separate fill count only added a driver round trip (r6).
     keyed = mat.cut(
-        base.select("id", keys(F.col("vec")).alias("band_keys")), "band_keys")
+        base.select("id", keys(F.col("vec")).alias("band_keys")), "band_keys",
+        force=False)
     exploded = keyed.select("id", F.explode("band_keys").alias("band_key"))
     cand = mat.cut(
         pairs_from_buckets(exploded, ["band_key"], id_col="id",

@@ -168,8 +168,12 @@ def fingerprint_candidates(
         mat = StageMaterializer.for_input(docs.select(id_col, text_col),
                                           prefix="suffix")
     fp = fingerprint_udf(k, window)
+    # force=False: the membership cut inside pairs_from_buckets is the
+    # next blocking action and scans every partition of this frame,
+    # filling the cache in that job (r6 — saves one driver action)
     fps = mat.cut(
-        docs.select(F.col(id_col), fp(F.col(text_col)).alias("fps")), "fps")
+        docs.select(F.col(id_col), fp(F.col(text_col)).alias("fps")), "fps",
+        force=False)
     exploded = fps.select(F.col(id_col), F.explode("fps").alias("fp"))
     return pairs_from_buckets(exploded, ["fp"], id_col=id_col,
                               bucket_cap=bucket_cap, mat=mat)

@@ -168,3 +168,50 @@ def test_word_ngrams_letbound_values_match_python(spark, n):
         exp = _py_ngrams(r["text"], n)
         assert list(r["g"]) == exp, (n, r["text"], r["g"], exp)
         assert r["c"] == len(exp)
+
+
+# ---------------------------------------------------------------------------
+# connected components: explode-based symmetrization + lazy cut policy
+
+
+def test_cc_orientation_and_duplicate_invariance(spark):
+    """The r6 symmetrization builds (u,v)+(v,u) from ONE scan of the
+    edge list via explode; components must be invariant to edge
+    orientation and to duplicated edges (distinct() semantics)."""
+    from doppel_spark.operators.components import connected_components
+
+    fwd = [("a", "b"), ("b", "c"), ("x", "y")]
+    rev = [(b, a) for a, b in fwd]
+    dup = fwd + fwd + rev
+    outs = []
+    for rows in (fwd, rev, dup):
+        df = spark.createDataFrame(rows, "url_a string, url_b string")
+        cc = connected_components(df)
+        outs.append(sorted((r["url"], r["cluster_rep"], r["cluster_id"])
+                           for r in cc.collect()))
+    assert outs[0] == outs[1] == outs[2]
+    assert {(u, rep) for u, rep, _ in outs[0]} == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")}
+
+
+def test_neardup_pipeline_persist_vs_table_mode_identical(spark):
+    """The r6 lazy persist fills (cut force=False) apply only in
+    persist mode; the table mode always writes eagerly. Both strategies
+    must produce identical pairs and clusters — this pins the
+    materialization policy to value identity."""
+    from doppel_spark.config import NearDupConfig
+    from doppel_spark.corpus import synth_pages
+    from doppel_spark.operators.neardup import near_dup_pipeline
+
+    pages = synth_pages(spark, 300)
+    outs = {}
+    for small in (True, False):
+        res = near_dup_pipeline(pages, NearDupConfig(), small_input=small)
+        pairs = sorted((r["url_a"], r["url_b"])
+                       for r in res.pairs.select("url_a", "url_b").collect())
+        clusters = sorted((r["url"], r["cluster_rep"])
+                          for r in res.clusters.collect())
+        outs[small] = (pairs, clusters)
+        res.cleanup()
+    assert outs[True] == outs[False]
+    assert len(outs[True][0]) > 0  # non-vacuous: the plant has dup pairs
